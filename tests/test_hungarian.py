@@ -1,0 +1,64 @@
+"""Hungarian solver: matched cost must equal scipy's optimum
+(hungarian_assigner_3d.py:117-121 is the reference path; ties may permute,
+so we compare total matched cost — SURVEY.md §7 hard-part #1)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from transcar_tpu.ops.hungarian import hungarian_match, hungarian_match_callback
+
+
+def _matched_cost(cost, matched, valid):
+    total = 0.0
+    for g in range(len(matched)):
+        if valid[g]:
+            total += cost[matched[g], g]
+    return total
+
+
+def test_matches_scipy_optimum_various_sizes():
+    rng = np.random.default_rng(0)
+    for q, g, gmax in [(16, 5, 8), (64, 20, 32), (900, 37, 128),
+                       (900, 128, 128), (10, 1, 4)]:
+        cost = rng.normal(size=(q, gmax)).astype(np.float32) * 10
+        matched, valid = hungarian_match(jnp.asarray(cost), jnp.int32(g))
+        matched, valid = np.asarray(matched), np.asarray(valid)
+        assert valid.sum() == g
+        # one-to-one over real gts
+        assert len(set(matched[:g])) == g
+        rows, cols = linear_sum_assignment(cost[:, :g])
+        ref_cost = cost[rows, cols].sum()
+        ours_cost = _matched_cost(cost, matched, valid)
+        np.testing.assert_allclose(ours_cost, ref_cost, rtol=1e-4, atol=1e-3)
+
+
+def test_zero_gt():
+    cost = jnp.zeros((16, 8))
+    matched, valid = hungarian_match(cost, jnp.int32(0))
+    assert not np.asarray(valid).any()
+
+
+def test_callback_path_agrees():
+    rng = np.random.default_rng(1)
+    cost = rng.normal(size=(50, 16)).astype(np.float32)
+    m1, v1 = hungarian_match(jnp.asarray(cost), jnp.int32(9))
+    m2, v2 = hungarian_match_callback(jnp.asarray(cost), jnp.int32(9))
+    c1 = _matched_cost(cost, np.asarray(m1), np.asarray(v1))
+    c2 = _matched_cost(cost, np.asarray(m2), np.asarray(v2))
+    np.testing.assert_allclose(c1, c2, rtol=1e-5)
+
+
+def test_vmap_over_batch():
+    rng = np.random.default_rng(2)
+    costs = rng.normal(size=(3, 40, 16)).astype(np.float32)
+    ngts = jnp.asarray([4, 16, 0], dtype=jnp.int32)
+    matched, valid = jax.vmap(hungarian_match)(jnp.asarray(costs), ngts)
+    for b, g in enumerate([4, 16, 0]):
+        assert np.asarray(valid)[b].sum() == g
+        if g:
+            rows, cols = linear_sum_assignment(costs[b, :, :g])
+            ref = costs[b][rows, cols].sum()
+            ours = _matched_cost(costs[b], np.asarray(matched)[b],
+                                 np.asarray(valid)[b])
+            np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)

@@ -1,0 +1,131 @@
+"""Jit-compatible Hungarian matching (N5 of SURVEY.md §2.4).
+
+The reference moves the [900, num_gt] cost matrix to the CPU and calls
+scipy's C++ Jonker–Volgenant solver every decoder layer of every step
+(hungarian_assigner_3d.py:108-125) — a device→host→device round trip.  Here
+the solver runs *on device inside jit*: a shortest-augmenting-path LAP over
+a statically padded [G_max, Q] matrix using ``lax.fori_loop`` /
+``lax.while_loop`` with vectorized column scans.
+
+Padded GT rows get uniform (zero) cost: a uniform row contributes a constant
+to any assignment, so the restriction of the global optimum to real rows is
+itself optimal for the real rows — the matched cost equals scipy's optimum
+(tie permutations may differ; tests compare matched total cost, SURVEY §7
+hard-part #1).
+
+A ``pure_callback`` path to scipy (or the bundled C++ LAPJV, see
+transcar_tpu/native) is provided as a host fallback and test oracle.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.float32(np.finfo(np.float32).max) / 4
+
+
+@partial(jax.jit, static_argnames=())
+def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
+    """Solve min-cost assignment of GTs to queries.
+
+    Args:
+      cost_qg: [Q, G_max] float cost (rows: queries, cols: gt slots).
+      num_gt: scalar int — number of real GTs (≤ G_max); padded slots are
+        ignored via uniform-cost rows.
+    Returns:
+      (matched_query, valid): [G_max] int32 query index per gt slot, and
+      [G_max] bool validity (slot < num_gt).
+    """
+    cost = cost_qg.T.astype(jnp.float32)             # [G, Q], rows = gts
+    g_max, q = cost.shape
+    row_ids = jnp.arange(g_max)
+    valid = row_ids < num_gt
+    cost = jnp.where(valid[:, None], cost, 0.0)      # uniform padded rows
+
+    u = jnp.zeros((g_max,), jnp.float32)
+    v = jnp.zeros((q,), jnp.float32)
+    col4row = jnp.full((g_max,), -1, jnp.int32)
+    row4col = jnp.full((q,), -1, jnp.int32)
+
+    def solve_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        shortest = jnp.full((q,), _INF)
+        path = jnp.full((q,), -1, jnp.int32)
+        sr = jnp.zeros((g_max,), bool)
+        sc = jnp.zeros((q,), bool)
+
+        def dijkstra_cond(s):
+            return s[0] == -1
+
+        def dijkstra_body(s):
+            sink, i, min_val, sr, sc, shortest, path = s
+            sr = sr.at[i].set(True)
+            reduced = min_val + cost[i] - u[i] - v
+            lower = (~sc) & (reduced < shortest)
+            shortest = jnp.where(lower, reduced, shortest)
+            path = jnp.where(lower, i, path)
+            masked = jnp.where(sc, _INF, shortest)
+            j = jnp.argmin(masked).astype(jnp.int32)
+            min_val = masked[j]
+            sc = sc.at[j].set(True)
+            new_sink = jnp.where(row4col[j] == -1, j, jnp.int32(-1))
+            next_i = jnp.where(new_sink == -1, row4col[j], i)
+            return new_sink, next_i, min_val, sr, sc, shortest, path
+
+        sink, _, min_val, sr, sc, shortest, path = jax.lax.while_loop(
+            dijkstra_cond, dijkstra_body,
+            (jnp.int32(-1), cur_row.astype(jnp.int32), jnp.float32(0.0),
+             sr, sc, shortest, path))
+
+        # potential updates (scipy rectangular_lsap.cpp semantics)
+        u = u.at[cur_row].add(min_val)
+        others = sr & (row_ids != cur_row)
+        safe_cols = jnp.clip(col4row, 0, q - 1)
+        u = jnp.where(others, u + min_val - shortest[safe_cols], u)
+        v = jnp.where(sc, v - (min_val - shortest), v)
+
+        # augment along the alternating path
+        def aug_cond(s):
+            return ~s[0]
+
+        def aug_body(s):
+            _, j, col4row, row4col = s
+            i = path[j]
+            row4col = row4col.at[j].set(i)
+            next_j = col4row[i]
+            col4row = col4row.at[i].set(j)
+            return i == cur_row, next_j, col4row, row4col
+
+        _, _, col4row, row4col = jax.lax.while_loop(
+            aug_cond, aug_body, (False, sink, col4row, row4col))
+        return u, v, col4row, row4col
+
+    _, _, col4row, _ = jax.lax.fori_loop(
+        0, g_max, solve_row, (u, v, col4row, row4col))
+    return col4row, valid
+
+
+def hungarian_match_callback(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
+    """Host fallback via ``jax.pure_callback`` → scipy (test oracle; same
+    device→host hop the reference pays every layer)."""
+    from scipy.optimize import linear_sum_assignment
+
+    g_max = cost_qg.shape[1]
+
+    def host(cost, n):
+        n = int(n)
+        out = np.full((g_max,), -1, np.int32)
+        if n > 0:
+            rows, cols = linear_sum_assignment(np.asarray(cost[:, :n]))
+            out[cols] = rows.astype(np.int32)
+        return out
+
+    matched = jax.pure_callback(
+        host, jax.ShapeDtypeStruct((g_max,), jnp.int32), cost_qg, num_gt,
+        vmap_method="sequential")
+    valid = jnp.arange(g_max) < num_gt
+    return jnp.where(valid, matched, 0), valid
