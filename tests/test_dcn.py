@@ -1,0 +1,86 @@
+"""DCNv2 parity vs a direct numpy restatement of mmcv's
+modulated_deform_conv im2col semantics (torchvision is unavailable in this
+image, so the oracle is the im2col math itself)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transcar_tpu.ops.dcn import modulated_deform_conv
+
+
+def _numpy_mdcn(x, offset_mask, weight, bias, stride=1, padding=1, dilation=1):
+    """mmcv modulated_deform_im2col restated: for output (i,j), tap k=(r,c):
+    sample at (i*stride - pad + r*dil + Δy_k, ...) with per-tap zero-padded
+    bilinear; multiply by sigmoid(mask_k); contract with weight."""
+    h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    ntap = kh * kw
+    off = offset_mask[..., :2 * ntap].reshape(ho, wo, ntap, 2)
+    msk = 1.0 / (1.0 + np.exp(-offset_mask[..., 2 * ntap:]))
+
+    def bilin(yy, xx):
+        if yy <= -1 or yy >= h or xx <= -1 or xx >= w:
+            return np.zeros(cin, x.dtype)
+        y0, x0 = int(np.floor(yy)), int(np.floor(xx))
+        dy, dx = yy - y0, xx - x0
+        out = np.zeros(cin, np.float64)
+        for (yi, wy) in ((y0, 1 - dy), (y0 + 1, dy)):
+            for (xi, wx) in ((x0, 1 - dx), (x0 + 1, dx)):
+                if 0 <= yi < h and 0 <= xi < w:
+                    out += wy * wx * x[yi, xi]
+        return out
+
+    out = np.zeros((ho, wo, cout), np.float64)
+    for i in range(ho):
+        for j in range(wo):
+            acc = np.zeros((ntap, cin), np.float64)
+            for k in range(ntap):
+                r, c = k // kw, k % kw
+                yy = i * stride - padding + r * dilation + off[i, j, k, 0]
+                xx = j * stride - padding + c * dilation + off[i, j, k, 1]
+                acc[k] = bilin(yy, xx) * msk[i, j, k]
+            out[i, j] = acc.reshape(-1) @ weight.reshape(-1, cout)
+    return (out + bias).astype(np.float32)
+
+
+def test_dcn_matches_im2col_semantics():
+    rng = np.random.default_rng(0)
+    h, w, cin, cout = 9, 11, 4, 6
+    x = rng.normal(size=(h, w, cin)).astype(np.float32)
+    om = (rng.normal(size=(h, w, 27)) * 1.5).astype(np.float32)
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+
+    ours = np.asarray(modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight),
+        jnp.asarray(bias)))
+    ref = _numpy_mdcn(x, om, weight, bias)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_zero_offsets_equals_regular_conv():
+    rng = np.random.default_rng(1)
+    h, w, cin, cout = 8, 8, 3, 5
+    x = rng.normal(size=(h, w, cin)).astype(np.float32)
+    om = np.zeros((h, w, 27), np.float32)   # zero offsets, mask sigmoid(0)=.5
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+
+    ours = np.asarray(modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight)))
+    conv = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(weight), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    np.testing.assert_allclose(ours, np.asarray(conv) * 0.5, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_dcn_batched_vmap():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 6, 6, 3)).astype(np.float32)
+    om = rng.normal(size=(2, 6, 6, 27)).astype(np.float32)
+    weight = rng.normal(size=(3, 3, 3, 4)).astype(np.float32)
+    out = jax.vmap(lambda a, b: modulated_deform_conv(
+        a, b, jnp.asarray(weight)))(jnp.asarray(x), jnp.asarray(om))
+    assert out.shape == (2, 6, 6, 4)

@@ -1,0 +1,93 @@
+"""End-to-end model forward smoke tests at tiny shapes: output shapes,
+jit-ability, finiteness, and the camera-only vs fusion switch."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transcar_tpu.core.config import (BackboneConfig, HeadConfig, ModelConfig)
+from transcar_tpu.models import TransCARDetector
+
+B, N, H, W = 1, 6, 64, 96
+Q, T = 36, 40
+
+
+def _tiny_head(**kw):
+    kw.setdefault("num_decoder_layers", 2)
+    return HeadConfig(num_query=Q, num_fusion_layers=3, num_radar_tokens=T,
+                      **kw)
+
+
+def _inputs(rng, with_radar=True):
+    images = rng.normal(size=(B, N, H, W, 3)).astype(np.float32)
+    # plausible pinhole lidar2img: focal ~ W, principal point center
+    l2i = np.zeros((B, N, 4, 4), np.float32)
+    for i in range(N):
+        a = 2 * np.pi * i / N
+        rot = np.array([[np.cos(a), -np.sin(a), 0],
+                        [np.sin(a), np.cos(a), 0],
+                        [0, 0, 1]], np.float32)
+        k = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]], np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = k @ rot
+        l2i[0, i] = m
+    radar = None
+    if with_radar:
+        radar = np.full((B, T, 36), 500.0, np.float32)
+        radar[0, :20, :] = rng.normal(size=(20, 36)).astype(np.float32)
+        radar[0, :20, 0:2] *= 30.0
+    return (jnp.asarray(images), jnp.asarray(l2i),
+            None if radar is None else jnp.asarray(radar))
+
+
+@pytest.mark.parametrize("fusion", [False, True])
+def test_forward_shapes(fusion):
+    rng = np.random.default_rng(0)
+    cfg = ModelConfig(
+        backbone=BackboneConfig(compute_dtype=None),
+        head=_tiny_head(with_radar_fusion=fusion),
+        use_grid_mask=False)
+    model = TransCARDetector(cfg)
+    images, l2i, radar = _inputs(rng, with_radar=fusion)
+    params = model.init(jax.random.PRNGKey(0), images, l2i, radar)
+    out = jax.jit(lambda p, i, l, r: model.apply(p, i, l, r))(
+        params, images, l2i, radar)
+    nl = 3 if fusion else 2
+    assert out["all_cls_scores"].shape == (nl, B, Q, 10)
+    assert out["all_bbox_preds"].shape == (nl, B, Q, 10)
+    assert np.isfinite(np.asarray(out["all_cls_scores"])).all()
+    assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()
+
+
+def test_forward_vovnet():
+    rng = np.random.default_rng(1)
+    cfg = ModelConfig(
+        backbone=BackboneConfig(
+            kind="vovnet99", compute_dtype=None,
+            fpn_in_channels=(256, 512, 768, 1024), fpn_start_level=0),
+        head=_tiny_head(with_radar_fusion=False, num_decoder_layers=1),
+        use_grid_mask=False)
+    model = TransCARDetector(cfg)
+    images, l2i, _ = _inputs(rng, with_radar=False)
+    params = model.init(jax.random.PRNGKey(0), images, l2i)
+    out = model.apply(params, images, l2i)
+    assert out["all_cls_scores"].shape == (1, B, Q, 10)
+    assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()
+
+
+def test_train_mode_with_gridmask_and_dropout():
+    rng = np.random.default_rng(2)
+    cfg = ModelConfig(
+        backbone=BackboneConfig(compute_dtype=None),
+        head=_tiny_head(with_radar_fusion=True, num_decoder_layers=1),
+        use_grid_mask=True)
+    model = TransCARDetector(cfg)
+    images, l2i, radar = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, l2i, radar)
+    out = model.apply(
+        params, images, l2i, radar, train=True,
+        rngs={"gridmask": jax.random.PRNGKey(1),
+              "dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()

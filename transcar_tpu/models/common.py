@@ -1,0 +1,148 @@
+"""Shared model building blocks.
+
+Conventions:
+  * NHWC feature layout everywhere (TPU/XLA native; the reference's NCHW is
+    a CUDA convention we deliberately do not carry over).
+  * LayerNorm eps = 1e-5 (torch default) so converted checkpoints match.
+  * Decoder/head matmuls run at ``Precision.HIGHEST``: they are a rounding
+    error of total FLOPs next to the backbone but decide box quality, so we
+    do not let TPU default-bf16 matmul precision touch them.  The backbone
+    computes in bfloat16 by design (the @auto_fp16 analog, detr3d.py:68).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transcar_tpu.ops.attention import multihead_attention
+
+HP = jax.lax.Precision.HIGHEST
+LN_EPS = 1e-5
+
+
+class Dense(nn.Dense):
+    """nn.Dense pinned to HIGHEST matmul precision."""
+
+    precision: jax.lax.Precision = HP
+
+
+class TorchMHA(nn.Module):
+    """Parameter container matching torch ``nn.MultiheadAttention`` after the
+    in_proj split (see ops/attention.py for the math and mask semantics)."""
+
+    embed_dims: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+        e = self.embed_dims
+        init = nn.initializers.xavier_uniform()
+        params = {}
+        for name in ("wq", "wk", "wv", "wo"):
+            params[name] = self.param(name, init, (e, e))
+            params["b" + name[1:]] = self.param(
+                "b" + name[1:], nn.initializers.zeros, (e,))
+        rng = None
+        if not deterministic and self.dropout > 0:
+            rng = self.make_rng("dropout")
+        return multihead_attention(
+            q, k, v, params, self.num_heads, mask=mask,
+            dropout_rate=self.dropout, deterministic=deterministic, rng=rng)
+
+
+class MLP(nn.Module):
+    """Linear stack with optional LayerNorm between layers.
+
+    Covers the reference's three MLP shapes: cls branch (Linear-LN-ReLU ×2 +
+    Linear), reg branch (Linear-ReLU ×2 + Linear), position/radar encoders
+    (Linear-LN-ReLU ×2, detr3d_head.py:74-126,173-189).
+    """
+
+    features: Sequence[int]
+    layer_norm: bool = False
+    final_activation: bool = False
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.features)
+        for i, feat in enumerate(self.features):
+            x = Dense(feat, name=f"linear{i}")(x)
+            last = i == n - 1
+            if not last or self.final_activation:
+                if self.layer_norm:
+                    x = nn.LayerNorm(epsilon=LN_EPS, name=f"ln{i}")(x)
+                x = self.activation(x)
+        return x
+
+
+class FFN(nn.Module):
+    """mmcv FFN: Linear→ReLU→Dropout→Linear→Dropout + residual
+    (config feedforward_channels=512, ffn_dropout=0.1)."""
+
+    embed_dims: int
+    hidden_dims: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = Dense(self.hidden_dims, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = Dense(self.embed_dims, name="linear2")(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return x + y
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm with frozen statistics and affine params
+    (``norm_cfg=dict(type='BN2d', requires_grad=False)``, norm_eval=True,
+    config :38-39).  Pure elementwise scale/bias — XLA folds it into the
+    surrounding convs."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        scale = gamma * jax.lax.rsqrt(var + self.eps)
+        bias = beta - mean * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class ConvBN(nn.Module):
+    """Conv2D + FrozenBN (+ optional ReLU), NHWC."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    relu: bool = True
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = FrozenBN(self.features, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x

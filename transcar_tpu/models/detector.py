@@ -1,0 +1,75 @@
+"""Top-level detector: 6-cam batch → backbone → FPN → TransCAR head.
+
+Parity target: ``Detr3D`` (projects/mmdet3d_plugin/models/detectors/
+detr3d.py): the [B, N, 3, H, W] → [B·N, 3, H, W] reshape around the backbone
+(:39-66, NHWC here), on-device GridMask in train mode (:53-54), fp16-like
+compute boundary (backbone bf16 → head fp32, the @auto_fp16/out_fp32 analog
+:68-72).
+
+Unlike the reference, radar featurization happens in the input pipeline and
+arrives as a ``radar_tokens`` tensor — the model is a pure function.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transcar_tpu.core.config import ModelConfig, TransCARConfig
+from transcar_tpu.data.gridmask import grid_mask
+from transcar_tpu.models.fpn import FPN
+from transcar_tpu.models.head import TransCARHead
+from transcar_tpu.models.resnet import ResNet
+from transcar_tpu.models.vovnet import VoVNet
+
+
+class TransCARDetector(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        bc = self.cfg.backbone
+        if bc.kind == "resnet101":
+            self.backbone = ResNet(
+                depth=101, with_dcn=bc.with_dcn,
+                compute_dtype=bc.compute_dtype, name="backbone")
+        elif bc.kind == "vovnet99":
+            self.backbone = VoVNet(
+                compute_dtype=bc.compute_dtype, name="backbone")
+        else:
+            raise ValueError(f"unknown backbone {bc.kind!r}")
+        self.neck = FPN(
+            in_channels=bc.fpn_in_channels,
+            out_channels=bc.fpn_out_channels,
+            start_level=bc.fpn_start_level,
+            num_outs=bc.fpn_num_outs,
+            add_extra_convs=bc.fpn_add_extra_convs,
+            relu_before_extra_convs=bc.fpn_relu_before_extra_convs,
+            name="neck")
+        self.head = TransCARHead(self.cfg.head, name="head")
+
+    def __call__(self, images: jnp.ndarray, lidar2img: jnp.ndarray,
+                 radar_tokens: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        """Args:
+          images: [B, N, H, W, 3] normalized images (fp32, NHWC).
+          lidar2img: [B, N, 4, 4].
+          radar_tokens: [B, T, 36] (required when head has radar fusion).
+        Returns:
+          head output dict (all_cls_scores / all_bbox_preds).
+        """
+        b, n, h, w, _ = images.shape
+        x = images.reshape(b * n, h, w, 3)
+        if self.cfg.use_grid_mask and train:
+            x = grid_mask(x, self.make_rng("gridmask"))
+        feats = self.backbone(x)
+        feats = self.neck(feats)
+        mlvl = [
+            f.reshape(b, n, *f.shape[1:]).astype(jnp.float32) for f in feats
+        ]
+        return self.head(mlvl, lidar2img, (h, w), radar_tokens,
+                         deterministic=not train)
+
+
+def build_model(cfg: TransCARConfig) -> TransCARDetector:
+    return TransCARDetector(cfg.model)

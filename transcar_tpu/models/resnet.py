@@ -1,0 +1,125 @@
+"""ResNet-101 (caffe style) with DCNv2 stages 3-4 and frozen BN.
+
+Parity target: the mmdet ``ResNet`` the primary config builds
+(configs/detr3d/detr3d_res101_gridmask.py:32-42): depth 101,
+out_indices (0,1,2,3), frozen_stages=1, BN frozen (FrozenBN here),
+style='caffe' (stride on the 1×1 conv of each bottleneck, so the 3×3/DCN
+conv is always stride 1), ``stage_with_dcn=(F, F, T, T)``.
+
+TPU-first choices: NHWC layout, bfloat16 compute for convs (params stay
+fp32), DCN coordinate math in fp32 (see ops/dcn.py).  Freezing is enforced
+by the optimizer mask (train/optim.py), mirroring ``frozen_stages`` +
+norm_eval + the TransCAR full camera freeze (tools/train.py:238-252).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transcar_tpu.models.common import ConvBN, FrozenBN
+from transcar_tpu.ops.dcn import modulated_deform_conv
+
+RESNET_DEPTHS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class DCNConv(nn.Module):
+    """DCNv2 layer: zero-initialized offset conv + deformable 3×3 conv.
+
+    Torch param mapping: ``convN.weight`` → `weight`,
+    ``convN.conv_offset.{weight,bias}`` → the `conv_offset` submodule.
+    mmcv zero-inits conv_offset so initial behavior is a regular conv with
+    0.5 modulation (sigmoid(0)).
+    """
+
+    in_features: int
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        # offset conv runs at DCN stride/padding (mmcv ModulatedDeformConv2dPack)
+        om = nn.Conv(
+            27, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=x.dtype,
+            name="conv_offset",
+        )(x)
+        weight = self.param(
+            "weight", nn.initializers.he_normal(),
+            (3, 3, self.in_features, self.features))
+        fn = lambda xi, omi: modulated_deform_conv(
+            xi, omi, weight, stride=self.stride, padding=1)
+        return jax.vmap(fn)(x, om)
+
+
+class Bottleneck(nn.Module):
+    """Caffe-style bottleneck: 1×1(stride)-3×3-1×1 with frozen BN."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    with_dcn: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = ConvBN(self.planes, kernel=1, stride=self.stride, relu=True,
+                     dtype=x.dtype, name="conv1")(x)
+        if self.with_dcn:
+            out = DCNConv(self.planes, self.planes, name="conv2")(out)
+            out = FrozenBN(self.planes, name="bn2")(out)
+            out = nn.relu(out)
+        else:
+            out = ConvBN(self.planes, kernel=3, stride=1, padding=1,
+                         relu=True, dtype=x.dtype, name="conv2")(out)
+        out = ConvBN(self.planes * 4, kernel=1, relu=False, dtype=x.dtype,
+                     name="conv3")(out)
+        if self.downsample:
+            identity = ConvBN(self.planes * 4, kernel=1, stride=self.stride,
+                              relu=False, dtype=x.dtype,
+                              name="downsample")(x)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Multi-stage ResNet returning C2..C5 feature maps (NHWC)."""
+
+    depth: int = 101
+    with_dcn: Tuple[bool, ...] = (False, False, True, True)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    compute_dtype: Optional[str] = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else x.dtype
+        x = x.astype(dtype)
+        # stem: 7×7/64 s2 + maxpool 3×3 s2 (mmdet ResNet, deep_stem=False)
+        x = ConvBN(64, kernel=7, stride=2, padding=3, relu=True, dtype=dtype,
+                   name="stem")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        blocks = RESNET_DEPTHS[self.depth]
+        outs = []
+        planes = 64
+        for stage, num_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            for b in range(num_blocks):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    with_dcn=self.with_dcn[stage],
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return outs
