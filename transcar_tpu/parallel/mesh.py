@@ -1,0 +1,51 @@
+"""Device mesh + sharding helpers (N10 of SURVEY.md §2.4).
+
+The reference's entire distributed story is PyTorch DDP over NCCL
+(tools/train.py:153-160, tools/dist_train.sh) with loss-side
+``reduce_mean`` collectives (detr3d_head.py:892,902).  The TPU-native
+equivalent is a ``jax.sharding.Mesh`` with the global batch sharded along a
+``data`` axis under jit: XLA inserts the gradient all-reduces over ICI, and
+global-batch reductions inside the loss subsume ``reduce_mean``.
+
+The mesh reserves room for more axes (the model is ~60M params, so TP/PP
+are unnecessary for parity — SURVEY.md §2.5 — but the API accepts any
+axis tuple so larger backbones can shard later).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Tuple[str, ...] = ("data",),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a mesh; defaults to all devices on one data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for [global_batch, ...] arrays: leading dim over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device_put every leaf of a batch pytree with the leading dim sharded
+    along `axis` (host → sharded global arrays)."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,137 @@
+"""Set-to-set detection loss: Hungarian targets + focal cls + weighted L1.
+
+Parity target: ``Detr3DHead.loss`` / ``loss_single`` / ``_get_target_single``
+(detr3d_head.py:742-1001) + ``HungarianAssigner3D``
+(hungarian_assigner_3d.py:52-134):
+
+  * cost = FocalLossCost(w=2.0) + BBox3DL1Cost(w=0.25) over normalized boxes
+    (config :111-112); IoU cost is a configured fake with weight 0.
+  * one-to-one matching per decoder layer per sample — here the on-device
+    solver (ops/hungarian.py) over a statically padded cost matrix.
+  * labels: matched queries get the gt label, others background
+    (= num_classes); label_weights all ones (:782-786).
+  * bbox targets: normalized gt boxes at matched rows, bbox_weights 1 at
+    matched rows × code_weights [1×8, 0.2, 0.2] (:789-794, :908).
+  * cls_avg_factor = num_pos + bg_cls_weight·num_neg, mean-synced across
+    devices when sync_cls_avg_factor (:889-895) — under global-batch jit
+    the sum over the global batch *is* the synced value, matching
+    ``reduce_mean``'s intent exactly.
+  * num_total_pos for the bbox loss: clamp(mean-synced num_pos, 1) (:902).
+  * non-finite target rows dropped (:907), NaN losses scrubbed to 0
+    (:915-916).
+
+GT boxes arrive padded to a static ``G_max`` in gravity-center form
+``(cx, cy, cz_grav, w, l, h, yaw, vx, vy)`` (the :963-965 convention), with
+``num_gt`` giving the real count; padded rows must have positive dims (the
+pipeline pads with ones) so ``log`` stays finite.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transcar_tpu.core.boxes import normalize_bbox
+from transcar_tpu.core.config import HeadConfig
+from transcar_tpu.ops.focal import focal_loss_cost, l1_loss, sigmoid_focal_loss
+from transcar_tpu.ops.hungarian import hungarian_match
+
+
+def _single_sample_targets(cls_score, bbox_pred, gt_boxes, gt_labels, num_gt,
+                           cfg: HeadConfig):
+    """Build per-query targets for one (layer, sample) pair."""
+    nq = cls_score.shape[0]
+    gmax = gt_boxes.shape[0]
+    gt_norm = normalize_bbox(gt_boxes)                       # [G, 10]
+
+    cls_cost = focal_loss_cost(
+        cls_score, gt_labels, weight=cfg.match_cls_weight,
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)        # [Q, G]
+    reg_cost = jnp.sum(
+        jnp.abs(bbox_pred[:, None, :10] - gt_norm[None, :, :10]), axis=-1
+    ) * cfg.match_reg_weight                                 # [Q, G]
+    cost = cls_cost + reg_cost
+
+    matched, valid = hungarian_match(cost, num_gt)           # [G], [G]
+
+    labels = jnp.full((nq,), cfg.num_classes, jnp.int32)
+    labels = labels.at[matched].set(
+        jnp.where(valid, gt_labels, cfg.num_classes))
+    bbox_targets = jnp.zeros((nq, 10), jnp.float32)
+    bbox_targets = bbox_targets.at[matched].set(
+        jnp.where(valid[:, None], gt_norm, 0.0))
+    bbox_weights = jnp.zeros((nq, 10), jnp.float32)
+    bbox_weights = bbox_weights.at[matched].set(
+        jnp.where(valid[:, None], 1.0, 0.0))
+    return labels, bbox_targets, bbox_weights
+
+
+def _layer_loss(cls_scores, bbox_preds, gt_boxes, gt_labels, num_gt,
+                cfg: HeadConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Loss for one decoder layer over the (global) batch.
+
+    cls_scores: [B, Q, C]; bbox_preds: [B, Q, 10]; gt_boxes: [B, G, 9];
+    gt_labels: [B, G]; num_gt: [B].
+    """
+    b, nq, _ = cls_scores.shape
+    labels, bbox_targets, bbox_weights = jax.vmap(
+        lambda c, p, gb, gl, n: _single_sample_targets(c, p, gb, gl, n, cfg)
+    )(cls_scores, bbox_preds, gt_boxes, gt_labels, num_gt)
+
+    num_pos = jnp.sum(num_gt).astype(jnp.float32)
+    # global-batch jit: the sum over the sharded batch is already the
+    # cross-device value (reduce_mean analog, :889-902)
+    cls_avg = jnp.maximum(num_pos + cfg.bg_cls_weight * (b * nq - num_pos),
+                          1.0)
+    loss_cls = sigmoid_focal_loss(
+        cls_scores.reshape(-1, cfg.num_classes),
+        labels.reshape(-1),
+        jnp.ones((b * nq,), jnp.float32),
+        cfg.num_classes, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha,
+        avg_factor=cls_avg, loss_weight=cfg.loss_cls_weight)
+
+    code_w = jnp.asarray(cfg.code_weights, jnp.float32)
+    weights = bbox_weights.reshape(-1, 10) * code_w
+    targets = bbox_targets.reshape(-1, 10)
+    finite = jnp.isfinite(targets).all(axis=-1, keepdims=True)
+    weights = weights * finite                                   # (:907)
+    loss_bbox = l1_loss(
+        bbox_preds.reshape(-1, 10), jnp.where(finite, targets, 0.0), weights,
+        avg_factor=jnp.maximum(num_pos, 1.0),
+        loss_weight=cfg.loss_bbox_weight)
+    return jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox)
+
+
+def detr3d_loss(preds: Dict[str, jnp.ndarray], gt_boxes, gt_labels, num_gt,
+                cfg: HeadConfig) -> Dict[str, jnp.ndarray]:
+    """Full multi-layer loss.
+
+    Args:
+      preds: dict with all_cls_scores [L, B, Q, C], all_bbox_preds
+        [L, B, Q, 10].  In TransCAR mode these are the 3 fusion layers only
+        (camera layers discarded, :607-608); in camera-only DETR3D mode the
+        6 decoder layers.
+      gt_boxes: [B, G, 9] gravity-center boxes (padded, dims ≥ tiny).
+      gt_labels: [B, G] int labels (padded 0).
+      num_gt: [B] int real counts.
+    Returns:
+      loss dict: ``loss_cls``/``loss_bbox`` for the last layer,
+      ``d{i}.loss_cls``/``d{i}.loss_bbox`` for earlier layers, and ``total``.
+    """
+    num_layers = preds["all_cls_scores"].shape[0]
+    losses = {}
+    total = 0.0
+    for lid in range(num_layers):
+        lc, lb = _layer_loss(
+            preds["all_cls_scores"][lid], preds["all_bbox_preds"][lid],
+            gt_boxes, gt_labels, num_gt, cfg)
+        if lid == num_layers - 1:
+            losses["loss_cls"] = lc
+            losses["loss_bbox"] = lb
+        else:
+            losses[f"d{lid}.loss_cls"] = lc
+            losses[f"d{lid}.loss_bbox"] = lb
+        total = total + lc + lb
+    losses["total"] = total
+    return losses

@@ -1,0 +1,97 @@
+"""Optimizer: AdamW with param groups, freeze mask, warmup+cosine schedule.
+
+Parity targets:
+  * AdamW lr 1.5e-5, weight_decay 0.01, backbone lr ×0.1
+    (config detr3d_res101_gridmask.py:206-213).
+  * grad clip max_norm 35 (L2) before the step (config :214).
+  * linear warmup (4000 iters, ratio 1/3) into cosine annealing with
+    min_lr_ratio 1e-3 (config :216-221).  mmcv anneals by epoch and scales
+    the warmup factor multiplicatively into the regular lr; here the cosine
+    runs continuously by step — same endpoints, smoother interior.
+  * the TransCAR freeze (tools/train.py:238-252): backbone, neck, DETR3D
+    decoder (incl. reference_points + query embedding) and camera cls/reg
+    branches are frozen; only the head's fusion/final/radar params train.
+    Frozen params are excluded from the step entirely (zero grad + no
+    AdamW weight decay), matching ``requires_grad=False``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from transcar_tpu.core.config import OptimConfig
+
+_FUSION_PREFIXES = ("fusion", "final_cls", "final_reg", "radar_")
+
+
+def lr_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
+    """Linear warmup from lr·warmup_ratio, then cosine to lr·min_lr_ratio."""
+    base = cfg.lr
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        frac = jnp.clip(step / jnp.maximum(total_steps, 1), 0.0, 1.0)
+        cos = cfg.min_lr_ratio + (1.0 - cfg.min_lr_ratio) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * frac))
+        warm_frac = jnp.clip(step / jnp.maximum(cfg.warmup_iters, 1), 0, 1)
+        warm = cfg.warmup_ratio + (1.0 - cfg.warmup_ratio) * warm_frac
+        return base * cos * warm
+
+    return sched
+
+
+def make_labels(params, freeze_camera: bool, backbone_lr_mult: float):
+    """Build the multi_transform label pytree."""
+
+    def label(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        top = keys[0] if keys else ""
+        if freeze_camera:
+            # TransCAR mode: only head fusion/final/radar params train
+            if top == "head" and len(keys) > 1 and keys[1].startswith(
+                    _FUSION_PREFIXES):
+                return "main"
+            return "frozen"
+        # DETR3D full training: backbone gets lr ×0.1; FrozenBN stats and
+        # affine params never train (requires_grad=False in the reference)
+        if any(k == "bn" or k.startswith("bn") for k in keys[1:]):
+            if top in ("backbone",):
+                return "frozen"
+        if top == "backbone":
+            return "backbone"
+        return "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(cfg: OptimConfig, params: Any, total_steps: int,
+                    freeze_camera: bool | None = None
+                    ) -> optax.GradientTransformation:
+    if freeze_camera is None:
+        freeze_camera = cfg.freeze_camera_branch
+    sched = lr_schedule(cfg, total_steps)
+    labels = make_labels(params, freeze_camera, cfg.backbone_lr_mult)
+
+    def adamw(lr_mult):
+        return optax.adamw(
+            lambda s: sched(s) * lr_mult,
+            b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=cfg.weight_decay)
+
+    frozen_mask = jax.tree_util.tree_map(lambda l: l == "frozen", labels)
+    return optax.chain(
+        # zero frozen grads BEFORE clipping so the clip norm matches a
+        # requires_grad=False run
+        optax.masked(optax.set_to_zero(), frozen_mask),
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.multi_transform(
+            {
+                "main": adamw(1.0),
+                "backbone": adamw(cfg.backbone_lr_mult),
+                "frozen": optax.set_to_zero(),
+            },
+            labels),
+    )
