@@ -1,0 +1,71 @@
+"""Benchmark: flagship TransCAR-R101 batch-1 inference throughput on TPU.
+
+Mirrors the reference's FPS benchmark protocol
+(tools/analysis_tools/benchmark.py:64-91: warmup, synchronized timing,
+forward(return_loss=False)) at the primary config's real input shape —
+6 cameras × 928×1600 (900×1600 padded ÷32), 900 queries, 1500 radar tokens.
+
+Baseline note: the reference publishes no throughput (SURVEY.md §6).
+``vs_baseline`` is computed against 2.0 samples/s — the commonly reported
+batch-1 V100 figure for DETR3D-R101-class models, which TransCAR (same
+camera trunk + 3 fusion layers) cannot exceed.  BASELINE.json's target is
+≥10× that on a v5e-8; this bench runs on ONE chip.
+
+Prints exactly one JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from transcar_tpu.models.detector import build_model
+
+    cfg = ge._tiny_cfg()  # full-size flagship: R101-DCN, 6 layers, fusion
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    b, n, h, w = 1, 6, 928, 1600
+    batch = ge._fake_batch(rng, b, n, h, w, cfg.model.head.num_radar_tokens)
+    images = jnp.asarray(batch["images"])
+    l2i = jnp.asarray(batch["lidar2img"])
+    radar = jnp.asarray(batch["radar_tokens"])
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, l2i, radar)
+
+    @jax.jit
+    def infer(params, images, l2i, radar):
+        return model.apply(params, images, l2i, radar)
+
+    def sync(out):
+        # block_until_ready is unreliable through the axon relay; a host
+        # transfer of a scalar-reduced output is a hard sync point
+        return float(jnp.sum(out["all_bbox_preds"][..., 0]))
+
+    # warmup + compile (incl. the transfer program)
+    for _ in range(3):
+        sync(infer(params, images, l2i, radar))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, images, l2i, radar)
+    sync(out)   # data dependency drains the whole queue
+    dt = time.perf_counter() - t0
+    sps = iters * b / dt
+
+    print(json.dumps({
+        "metric": "transcar_r101_6cam_928x1600_bs1_infer",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / 2.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
