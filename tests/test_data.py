@@ -1,0 +1,127 @@
+"""Data layer tests: radar 36-dim token layout vs a literal restatement of
+the reference featurization (detr3d_head.py:301-536), pipeline ops, GT
+padding, GridMask statistics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transcar_tpu.core.config import DataConfig
+from transcar_tpu.data.gridmask import grid_mask
+from transcar_tpu.data.loader import collate, pad_gt
+from transcar_tpu.data.pipeline import (_bgr2hsv, _hsv2bgr, normalize_images,
+                                        pad_to_divisor,
+                                        photometric_distortion)
+from transcar_tpu.data.radar import (build_radar_tokens,
+                                     featurize_radar_channel, RADAR_CHANNELS)
+
+
+def _rand_radar(rng, n):
+    pts = np.zeros((18, n))
+    pts[0:3] = rng.uniform(-60, 60, (3, n))          # xyz
+    pts[2] = rng.uniform(-4, 2, n)                   # z in range mostly
+    pts[3] = rng.integers(0, 8, n)                   # dyn_prop
+    pts[4] = rng.integers(0, 100, n)                 # id
+    pts[5] = rng.uniform(-10, 30, n)                 # rcs
+    pts[6:10] = rng.uniform(-20, 20, (4, n))         # vx vy vxc vyc
+    pts[10] = rng.integers(0, 2, n)
+    pts[11] = rng.integers(0, 5, n)                  # ambig
+    pts[14] = rng.integers(0, 3, n)
+    pts[15] = rng.integers(0, 8, n)                  # pdh0
+    times = rng.uniform(0, 0.5, (1, n))
+    return pts, times
+
+
+def _rot(rng):
+    a = rng.uniform(0, 2 * np.pi)
+    return np.array([[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0],
+                     [0, 0, 1.0]])
+
+
+def test_radar_feature_layout_and_values():
+    rng = np.random.default_rng(0)
+    pts, times = _rand_radar(rng, 50)
+    r_rot, ref_rot = _rot(rng), _rot(rng)
+    f = featurize_radar_channel(pts, times, r_rot, ref_rot)
+    assert f.shape == (50, 36)
+    # base columns
+    np.testing.assert_allclose(f[:, 0:3], pts[0:3].T)
+    np.testing.assert_allclose(f[:, 3], pts[4])      # id
+    np.testing.assert_allclose(f[:, 4], pts[5])      # rcs
+    np.testing.assert_allclose(f[:, 5], pts[10])
+    np.testing.assert_allclose(f[:, 6], pts[14])
+    # timestamps: t - max(t), duplicated
+    t_rel = times[0] - times.max()
+    np.testing.assert_allclose(f[:, 7], t_rel)
+    np.testing.assert_allclose(f[:, 8], t_rel)
+    # compensated velocity rotation (vstack 0, R_ref.T @ R_radar @ v)
+    v3 = np.vstack([pts[8:10], np.zeros(50)])
+    v3 = ref_rot.T @ (r_rot @ v3)
+    np.testing.assert_allclose(f[:, 11:13], v3[:2].T)
+    # offset = v_comp * t_rel
+    np.testing.assert_allclose(f[:, 9:11], v3[:2].T * t_rel[:, None])
+    # raw velocity
+    v3r = np.vstack([pts[6:8], np.zeros(50)])
+    v3r = ref_rot.T @ (r_rot @ v3r)
+    np.testing.assert_allclose(f[:, 13:15], v3r[:2].T)
+    # one-hots
+    for i in range(50):
+        assert f[i, 15 + int(pts[3, i])] == 1.0 and f[i, 15:23].sum() == 1
+        assert f[i, 23 + int(pts[11, i])] == 1.0 and f[i, 23:28].sum() == 1
+        assert f[i, 28 + int(pts[15, i])] == 1.0 and f[i, 28:36].sum() == 1
+
+
+def test_radar_buffer_padding_and_range_filter():
+    rng = np.random.default_rng(1)
+    per, rots = {}, {}
+    ref_rot = _rot(rng)
+    for ch in RADAR_CHANNELS:
+        per[ch] = _rand_radar(rng, 30)
+        rots[ch] = _rot(rng)
+    tokens = build_radar_tokens(per, rots, ref_rot, num_tokens=200)
+    assert tokens.shape == (200, 36)
+    # all real points strictly inside the range
+    real = tokens[(tokens[:, 0] != 500.0)]
+    assert (np.abs(real[:, 0]) < 51.2).all() and (np.abs(real[:, 1]) < 51.2).all()
+    # padding rows are 500 in EVERY column (the :527 whole-buffer sentinel)
+    padrows = tokens[np.all(tokens == 500.0, axis=1)]
+    assert len(padrows) + len(real) == 200
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+    back = _hsv2bgr(_bgr2hsv(img))
+    np.testing.assert_allclose(back, img, rtol=1e-3, atol=1e-2)
+
+
+def test_pipeline_shapes():
+    rng = np.random.default_rng(3)
+    imgs = [rng.uniform(0, 255, (900, 1600, 3)).astype(np.float32)
+            for _ in range(2)]
+    imgs = photometric_distortion(imgs, rng)
+    imgs = normalize_images(imgs, (103.53, 116.28, 123.675), (1, 1, 1))
+    imgs = pad_to_divisor(imgs, 32)
+    assert imgs[0].shape == (928, 1600, 3)
+    assert np.isfinite(imgs[0]).all()
+
+
+def test_pad_gt():
+    boxes = np.array([[1, 2, 0.0, 2, 4, 2, 0.5, 1, 0]], np.float32)
+    labels = np.array([3], np.int32)
+    b, l, n = pad_gt(boxes, labels, 8)
+    assert b.shape == (8, 9) and n == 1
+    assert b[0, 2] == 1.0          # gravity z = 0 + 2/2
+    assert (b[1:, 3:6] == 1).all()  # unit dims on padding
+
+
+def test_gridmask_statistics():
+    rng = np.random.default_rng(4)
+    x = jnp.ones((2, 64, 96, 3))
+    out = grid_mask(x, jax.random.PRNGKey(0), prob=1.0)
+    frac = float(jnp.mean(out))
+    # mode=1 keeps the stripes: keep fraction ≈ 1-(1-r)^2 = .75, loosely
+    assert 0.3 < frac < 0.95
+    # prob=0 → identity
+    out2 = grid_mask(x, jax.random.PRNGKey(0), prob=0.0)
+    assert float(jnp.min(out2)) == 1.0

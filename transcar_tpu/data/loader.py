@@ -1,0 +1,131 @@
+"""Batch assembly + prefetching loader.
+
+Replaces mmdet3d's ``build_dataloader`` (4 worker processes, config :189)
+with a thread-pool prefetcher producing static-shape numpy batches ready
+for the sharded jit step:
+
+  images       [B, N_cams, H, W, 3] float32 (normalized, padded ÷32)
+  lidar2img    [B, N_cams, 4, 4]
+  radar_tokens [B, T, 36]          (optional)
+  gt_boxes     [B, G_max, 9]  gravity-center z (loss convention,
+                               detr3d_head.py:963-965), padded rows have
+                               unit dims so log() stays finite
+  gt_labels    [B, G_max] int32
+  num_gt       [B] int32
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from transcar_tpu.core.config import DataConfig
+from transcar_tpu.data import pipeline as pp
+from transcar_tpu.data.infos import NuScenesInfos, Sample
+
+
+def pad_gt(gt_boxes: np.ndarray, gt_labels: np.ndarray, max_gt: int):
+    """Bottom-z boxes → gravity-z, padded to static [G_max, 9]."""
+    g = min(len(gt_boxes), max_gt)
+    boxes = np.ones((max_gt, 9), np.float32)
+    labels = np.zeros((max_gt,), np.int32)
+    if g:
+        grav = gt_boxes[:g].copy()
+        grav[:, 2] += grav[:, 5] * 0.5
+        boxes[:g] = grav
+        labels[:g] = gt_labels[:g]
+    return boxes, labels, np.int32(g)
+
+
+def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
+                   rng: Optional[np.random.Generator] = None,
+                   radar_fn: Optional[Callable[[str], np.ndarray]] = None,
+                   ) -> Dict[str, np.ndarray]:
+    """Full per-sample host pipeline → dict of static-shape arrays."""
+    imgs = pp.load_multiview_images(sample.img_paths)
+    if training and cfg.photometric_distortion:
+        imgs = pp.photometric_distortion(imgs, rng or np.random.default_rng())
+    imgs = pp.normalize_images(imgs, cfg.img_mean, cfg.img_std, cfg.to_rgb)
+    imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
+    images = pp.stack_views(imgs)
+
+    out: Dict[str, np.ndarray] = {
+        "images": images,
+        "lidar2img": sample.lidar2img,
+    }
+    if radar_fn is not None:
+        out["radar_tokens"] = radar_fn(sample.token)
+    boxes, labels, n = pad_gt(sample.gt_boxes, sample.gt_labels,
+                              cfg.max_gt_boxes)
+    out.update(gt_boxes=boxes, gt_labels=labels, num_gt=n)
+    return out
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class PrefetchLoader:
+    """Thread-pool prefetcher over a dataset of index → sample-dict."""
+
+    def __init__(self, dataset: NuScenesInfos, cfg: DataConfig,
+                 batch_size: int, training: bool = True,
+                 indices: Optional[np.ndarray] = None,
+                 radar_fn: Optional[Callable[[str], np.ndarray]] = None,
+                 seed: int = 0, workers: Optional[int] = None,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.training = training
+        self.indices = (np.asarray(indices) if indices is not None
+                        else np.arange(len(dataset)))
+        self.radar_fn = radar_fn
+        self.seed = seed
+        self.workers = workers if workers is not None else cfg.workers
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.indices) // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.indices.copy()
+        if self.training:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        nb = len(order) // self.batch_size
+        batches = order[: nb * self.batch_size].reshape(nb, self.batch_size)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_one(idx, rank):
+            rng = np.random.default_rng(
+                self.seed * 1_000_003 + epoch_idx * 10_007 + int(idx))
+            sample = self.dataset.get_sample(int(idx))
+            return prepare_sample(sample, self.cfg, self.training, rng,
+                                  self.radar_fn)
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=max(self.workers, 1)) as ex:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    parts = list(ex.map(load_one, batch_idx,
+                                        range(len(batch_idx))))
+                    q.put(collate(parts))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
