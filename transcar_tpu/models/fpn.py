@@ -29,8 +29,8 @@ class FPN(nn.Module):
         used = list(range(self.start_level, len(self.in_channels)))
         laterals = [
             nn.Conv(self.out_channels, (1, 1), dtype=feats[i].dtype,
-                    name=f"lateral{i}")(feats[i])
-            for i in used
+                    name=f"lateral{rel}")(feats[i])
+            for rel, i in enumerate(used)
         ]
         # top-down: nearest upsample to the lower level's size, then add
         for i in range(len(laterals) - 1, 0, -1):
