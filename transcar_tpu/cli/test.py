@@ -1,0 +1,66 @@
+"""Eval CLI (tools/test.py analog).
+
+Usage:
+    python -m transcar_tpu.cli.test <preset> <checkpoint>
+        [--format-only] [--eval bbox] [--out results.json]
+        [--max-samples N] [--cfg-options ...]
+
+Checkpoint may be an orbax params dir or a reference torch .pth (converted
+on load).  --eval bbox runs the devkit DetectionEval when available.
+"""
+from __future__ import annotations
+
+import argparse
+
+from transcar_tpu.cli.train import parse_overrides, _try_radar_fn
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("preset")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--format-only", action="store_true")
+    ap.add_argument("--eval", dest="eval_metric")
+    ap.add_argument("--out")
+    ap.add_argument("--max-samples", type=int)
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    args = ap.parse_args(argv)
+
+    import jax
+    from transcar_tpu.core.config import get_preset
+    from transcar_tpu.models.detector import build_model
+    from transcar_tpu.train.loop import _load_params, evaluate
+
+    cfg = get_preset(args.preset, parse_overrides(args.cfg_options))
+
+    # materialize a params template, then load the checkpoint over it
+    import numpy as np
+    model = build_model(cfg)
+    h, w = cfg.data.img_hw
+    images = np.zeros((1, cfg.model.head.num_cams, h, w, 3), np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32),
+                  (1, cfg.model.head.num_cams, 1, 1))
+    radar = (np.full((1, cfg.model.head.num_radar_tokens, 36), 500.0,
+                     np.float32)
+             if cfg.model.head.with_radar_fusion else None)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), images, l2i, radar)
+    )["params"]
+    params = _load_params(args.checkpoint, cfg, template)
+
+    radar_fn = (_try_radar_fn(cfg)
+                if cfg.model.head.with_radar_fusion else None)
+    out_path = evaluate(cfg, params, radar_fn=radar_fn,
+                        max_samples=args.max_samples, out_path=args.out)
+    print(f"results written to {out_path}")
+
+    if args.eval_metric:
+        from transcar_tpu.eval.submission import evaluate_nuscenes
+        metrics = evaluate_nuscenes(out_path, cfg.data.data_root,
+                                    version=cfg.data.version)
+        for k, v in metrics.items():
+            print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Train CLI (tools/train.py analog).
+
+Usage:
+    python -m transcar_tpu.cli.train <preset> [--work-dir D]
+        [--load-from CKPT] [--resume-from DIR] [--seed N]
+        [--max-steps N] [--cfg-options k.subkey=value ...]
+
+Presets replace the reference's config files; --cfg-options is the deep
+override (tools/train.py:59-68 analog).  Radar tokens are produced by the
+input pipeline when the preset has radar fusion and nuscenes-devkit + raw
+data are available.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        out[k] = v
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("preset")
+    ap.add_argument("--work-dir")
+    ap.add_argument("--load-from")
+    ap.add_argument("--resume-from")
+    ap.add_argument("--seed", type=int)
+    ap.add_argument("--max-steps", type=int)
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    args = ap.parse_args(argv)
+
+    from transcar_tpu.core.config import get_preset
+    overrides = parse_overrides(args.cfg_options)
+    if args.work_dir:
+        overrides["train.work_dir"] = args.work_dir
+    else:
+        overrides.setdefault("train.work_dir", f"work_dirs/{args.preset}")
+    if args.load_from:
+        overrides["train.load_from"] = args.load_from
+    if args.resume_from:
+        overrides["train.resume_from"] = args.resume_from
+    if args.seed is not None:
+        overrides["train.seed"] = args.seed
+    cfg = get_preset(args.preset, overrides)
+
+    radar_fn = None
+    if cfg.model.head.with_radar_fusion:
+        radar_fn = _try_radar_fn(cfg)
+
+    from transcar_tpu.train.loop import train
+    train(cfg, radar_fn=radar_fn, max_steps=args.max_steps)
+
+
+def _try_radar_fn(cfg):
+    try:
+        from nuscenes import NuScenes
+        from transcar_tpu.data.radar import load_radar_tokens
+
+        nusc = NuScenes(version=cfg.data.version,
+                        dataroot=cfg.data.data_root, verbose=False)
+        return lambda token: load_radar_tokens(
+            nusc, token, nsweeps=cfg.data.radar_sweeps,
+            num_tokens=cfg.model.head.num_radar_tokens)
+    except Exception as e:          # devkit or raw data unavailable
+        print(f"[train] radar pipeline unavailable ({e}); "
+              "running without radar tokens")
+        return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Training loop: epochs, logging, eval hook, checkpointing.
+
+EpochBasedRunner analog (SURVEY.md §2.6): 24 epochs, json+text logging
+compatible with the log-analysis CLI, EvalHook every N epochs, checkpoint
+hook every epoch, warm-start / resume.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from transcar_tpu.core.config import TransCARConfig, config_to_dict
+from transcar_tpu.data.infos import NuScenesInfos, cbgs_indices
+from transcar_tpu.data.loader import PrefetchLoader
+from transcar_tpu.eval.submission import (detections_to_nusc_annos,
+                                          write_submission)
+from transcar_tpu.models.detector import build_model
+from transcar_tpu.parallel.mesh import make_mesh, shard_batch
+from transcar_tpu.train import checkpoint as ckpt
+from transcar_tpu.train.optim import lr_schedule
+from transcar_tpu.train.step import (TrainState, init_state, make_eval_step,
+                                     make_train_step)
+
+
+class JsonLogger:
+    """mmcv-style json-line logger (work_dirs/<name>/<ts>.log.json) — the
+    format tools/analysis_tools/analyze_logs.py parses."""
+
+    def __init__(self, work_dir: str):
+        os.makedirs(work_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        self.path = os.path.join(work_dir, f"{stamp}.log.json")
+
+    def log(self, record: Dict):
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        mode = record.get("mode", "")
+        human = ", ".join(f"{k}: {v}" for k, v in record.items()
+                          if k not in ("mode",))
+        print(f"[{mode}] {human}", flush=True)
+
+
+def train(cfg: TransCARConfig,
+          radar_fn: Optional[Callable[[str], np.ndarray]] = None,
+          max_steps: Optional[int] = None,
+          log_interval: int = 50) -> TrainState:
+    """Full training run driven by a config (tools/train.py analog)."""
+    work_dir = cfg.train.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    logger = JsonLogger(work_dir)
+    # dump-on-run manifest (train.py:165 analog)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+
+    dataset = NuScenesInfos(
+        os.path.join(cfg.data.data_root, cfg.data.ann_train),
+        class_names=cfg.data.class_names, data_root=cfg.data.data_root)
+    indices = cbgs_indices(dataset) if cfg.data.use_cbgs else None
+
+    devices = jax.devices()
+    mesh_n = min(int(np.prod(cfg.train.mesh_shape)), len(devices))
+    mesh = make_mesh((mesh_n,), ("data",), devices[:mesh_n])
+    batch_size = cfg.data.samples_per_device * mesh_n
+
+    loader = PrefetchLoader(dataset, cfg.data, batch_size, training=True,
+                            indices=indices, radar_fn=radar_fn,
+                            seed=cfg.train.seed)
+    steps_per_epoch = max(len(loader), 1)
+    total_steps = steps_per_epoch * cfg.train.optim.total_epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+
+    model = build_model(cfg)
+    sample_batch = next(iter(loader.epoch(0)))
+    state, tx = init_state(cfg, model, sample_batch, total_steps,
+                           jax.random.PRNGKey(cfg.train.seed))
+
+    if cfg.train.load_from:
+        params = _load_params(cfg.train.load_from, cfg, state.params)
+        state = state._replace(params=params)
+    start_epoch = 0
+    if cfg.train.resume_from:
+        state, step = ckpt.restore_checkpoint(cfg.train.resume_from, state)
+        start_epoch = int(step) // steps_per_epoch
+
+    train_step = make_train_step(cfg, model, tx, mesh=mesh)
+    sched = lr_schedule(cfg.train.optim, total_steps)
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    done = False
+    for epoch in range(start_epoch, cfg.train.optim.total_epochs):
+        t_iter = time.time()
+        for i, batch in enumerate(loader.epoch(epoch)):
+            sharded = shard_batch(batch, mesh)
+            state, losses = train_step(state, sharded, rng)
+            if (i + 1) % log_interval == 0:
+                step = int(state.step)
+                rec = {"mode": "train", "epoch": epoch + 1, "iter": i + 1,
+                       "lr": float(sched(step)),
+                       "time": round((time.time() - t_iter) / log_interval,
+                                     4)}
+                rec.update({k: round(float(v), 4) for k, v in losses.items()})
+                logger.log(rec)
+                t_iter = time.time()
+            if max_steps is not None and int(state.step) >= max_steps:
+                done = True
+                break
+        if (epoch + 1) % cfg.train.checkpoint_interval_epochs == 0 or done:
+            ckpt.save_checkpoint(work_dir, int(state.step), state,
+                                 config_dict=config_to_dict(cfg))
+        if done:
+            break
+    return state
+
+
+def evaluate(cfg: TransCARConfig, params,
+             radar_fn: Optional[Callable[[str], np.ndarray]] = None,
+             max_samples: Optional[int] = None,
+             out_path: Optional[str] = None) -> str:
+    """Inference over the val set → nuScenes submission json
+    (tools/test.py --format-only analog).  Devkit metrics via
+    eval.submission.evaluate_nuscenes when raw data is present."""
+    dataset = NuScenesInfos(
+        os.path.join(cfg.data.data_root, cfg.data.ann_val),
+        class_names=cfg.data.class_names, test_mode=True,
+        data_root=cfg.data.data_root)
+    model = build_model(cfg)
+    eval_step = make_eval_step(cfg, model)
+    loader = PrefetchLoader(dataset, cfg.data, batch_size=1, training=False,
+                            radar_fn=radar_fn)
+    results: Dict[str, list] = {}
+    n = len(dataset) if max_samples is None else min(max_samples,
+                                                     len(dataset))
+    for idx, batch in enumerate(loader.epoch(0)):
+        if idx >= n:
+            break
+        out = eval_step(params, batch)
+        info = dataset.infos[int(loader.indices[idx])]
+        annos = detections_to_nusc_annos(
+            np.asarray(out["boxes"][0]), np.asarray(out["scores"][0]),
+            np.asarray(out["labels"][0]), np.asarray(out["valid"][0]),
+            info, cfg.data.class_names)
+        results[info["token"]] = annos
+    out_path = out_path or os.path.join(cfg.train.work_dir,
+                                        "results_nusc.json")
+    return write_submission(results, out_path)
+
+
+def _load_params(path: str, cfg: TransCARConfig, params_template):
+    """Warm start from an orbax dir or a torch .pth checkpoint."""
+    if path.endswith((".pth", ".pt")):
+        from transcar_tpu.train.convert import (convert_detr3d_checkpoint,
+                                                load_torch_state_dict)
+        sd = load_torch_state_dict(path)
+        params, report = convert_detr3d_checkpoint(
+            sd,
+            num_decoder_layers=cfg.model.head.num_decoder_layers,
+            backbone=cfg.model.backbone.kind,
+            with_dcn=cfg.model.backbone.with_dcn,
+            with_radar_fusion=cfg.model.head.with_radar_fusion)
+        if report["missing"]:
+            print(f"[load_from] {len(report['missing'])} missing keys, e.g. "
+                  f"{report['missing'][:3]}")
+        return jax.tree_util.tree_map(
+            lambda t, p: p.astype(t.dtype) if hasattr(t, "dtype") else p,
+            params_template, params)
+    return ckpt.load_params_only(path, params_template)
