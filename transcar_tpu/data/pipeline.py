@@ -130,3 +130,73 @@ def photometric_distortion(
 
 def stack_views(imgs: List[np.ndarray]) -> np.ndarray:
     return np.stack(imgs, axis=0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# geometric multi-view transforms (transform_3d.py:196-305)
+# ---------------------------------------------------------------------------
+
+def crop_images(imgs: List[np.ndarray], size) -> List[np.ndarray]:
+    """CropMultiViewImage (:196-220): top-left crop to ``size``."""
+    return [img[: size[0], : size[1], ...] for img in imgs]
+
+
+def _resize_bilinear(img: np.ndarray, hw) -> np.ndarray:
+    """cv2.resize(bilinear)-compatible resize (align_corners=False)."""
+    h, w = hw
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h) + 0.5) * sh / h - 0.5
+    xs = (np.arange(w) + 0.5) * sw / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, sh - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, sw - 1)
+    y1 = np.clip(y0 + 1, 0, sh - 1)
+    x1 = np.clip(x0 + 1, 0, sw - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx).astype(img.dtype)
+
+
+def random_scale_images(imgs: List[np.ndarray], lidar2img: np.ndarray,
+                        gt_boxes: np.ndarray,
+                        rng: np.random.Generator,
+                        scales=(0.5, 1.0, 1.5)):
+    """RandomScaleImageMultiViewImage (:224-258): rescales images AND the
+    lidar2img matrices AND gt box geometry by one random scale."""
+    s = float(rng.choice(np.asarray(scales)))
+    h, w = imgs[0].shape[:2]
+    new_hw = (int(h * s), int(w * s))
+    imgs = [_resize_bilinear(img, new_hw) for img in imgs]
+    scale = np.eye(4, dtype=lidar2img.dtype)
+    scale[0, 0] = scale[1, 1] = s
+    lidar2img = np.einsum("ij,njk->nik", scale, lidar2img)
+    gt_boxes = gt_boxes.copy()
+    if len(gt_boxes):
+        gt_boxes[:, :6] *= s
+    return imgs, lidar2img, gt_boxes, s
+
+
+def horizontal_flip(imgs: List[np.ndarray], lidar2img: np.ndarray,
+                    gt_boxes: np.ndarray):
+    """HorizontalRandomFlipMultiViewImage (:262-305): flips images, camera
+    geometry (y-axis mirror + principal-point mirror folded into lidar2img)
+    and boxes (LiDAR horizontal flip: y → −y, yaw → −yaw, vy → −vy)."""
+    w = imgs[0].shape[1]
+    imgs = [img[:, ::-1, ...].copy() for img in imgs]
+    flip = np.eye(4, dtype=lidar2img.dtype)
+    flip[1, 1] = -1.0
+    mirror = np.eye(4, dtype=lidar2img.dtype)
+    mirror[0, 0] = -1.0
+    mirror[0, 2] = w
+    lidar2img = np.einsum("ij,njk,kl->nil", mirror, lidar2img, flip)
+    gt_boxes = gt_boxes.copy()
+    if len(gt_boxes):
+        gt_boxes[:, 1] *= -1
+        gt_boxes[:, 6] *= -1
+        if gt_boxes.shape[1] > 8:
+            gt_boxes[:, 8] *= -1
+    return imgs, lidar2img, gt_boxes
