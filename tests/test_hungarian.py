@@ -62,3 +62,34 @@ def test_vmap_over_batch():
             ours = _matched_cost(costs[b], np.asarray(matched)[b],
                                  np.asarray(valid)[b])
             np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_native_lapjv_matches_scipy():
+    from transcar_tpu import native
+    from transcar_tpu.ops.hungarian import hungarian_match_native
+    rng = np.random.default_rng(5)
+    # direct binding
+    for r, c in [(1, 5), (8, 20), (64, 900)]:
+        cost = rng.normal(size=(r, c)).astype(np.float32) * 10
+        col4row = native.lapjv(cost)
+        rows, cols = linear_sum_assignment(cost)
+        np.testing.assert_allclose(cost[np.arange(r), col4row].sum(),
+                                   cost[rows, cols].sum(), rtol=1e-5)
+    # batched binding
+    costs = rng.normal(size=(3, 16, 40)).astype(np.float32)
+    nper = np.asarray([16, 7, 0], np.int32)
+    out = native.lapjv_batched(costs, nper)
+    for b, n in enumerate(nper):
+        if n == 0:
+            assert (out[b] == -1).all()
+            continue
+        rows, cols = linear_sum_assignment(costs[b, :n])
+        np.testing.assert_allclose(costs[b, np.arange(n), out[b, :n]].sum(),
+                                   costs[b][rows, cols].sum(), rtol=1e-5)
+    # jax callback path
+    cost = rng.normal(size=(50, 16)).astype(np.float32)
+    m, v = hungarian_match_native(jnp.asarray(cost), jnp.int32(9))
+    m2, v2 = hungarian_match(jnp.asarray(cost), jnp.int32(9))
+    c1 = _matched_cost(cost, np.asarray(m), np.asarray(v))
+    c2 = _matched_cost(cost, np.asarray(m2), np.asarray(v2))
+    np.testing.assert_allclose(c1, c2, rtol=1e-4)

@@ -129,3 +129,20 @@ def hungarian_match_callback(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
         vmap_method="sequential")
     valid = jnp.arange(g_max) < num_gt
     return jnp.where(valid, matched, 0), valid
+
+
+def hungarian_match_native(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
+    """Host fallback via the bundled C++ LAPJV (transcar_tpu/native) —
+    one native call per solve, no scipy dependency on the hot path."""
+    from transcar_tpu import native
+
+    g_max = cost_qg.shape[1]
+
+    def host(cost, n):
+        return native.lapjv(np.ascontiguousarray(cost.T), int(n))
+
+    matched = jax.pure_callback(
+        host, jax.ShapeDtypeStruct((g_max,), jnp.int32), cost_qg, num_gt,
+        vmap_method="sequential")
+    valid = jnp.arange(g_max) < num_gt
+    return jnp.where(valid, matched, 0), valid
