@@ -31,14 +31,20 @@ class Dense(nn.Dense):
 
 class TorchMHA(nn.Module):
     """Parameter container matching torch ``nn.MultiheadAttention`` after the
-    in_proj split (see ops/attention.py for the math and mask semantics)."""
+    in_proj split (see ops/attention.py for the math and mask semantics).
+
+    ``use_pallas`` (with a keep-mask, deterministic, on TPU) routes through
+    the fused VMEM-resident kernel (ops/pallas_attention.py); the XLA path
+    serves training/autodiff and CPU.
+    """
 
     embed_dims: int
     num_heads: int
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, q, k, v, mask=None, deterministic: bool = True):
+    def __call__(self, q, k, v, mask=None, deterministic: bool = True,
+                 use_pallas: bool = False):
         e = self.embed_dims
         init = nn.initializers.xavier_uniform()
         params = {}
@@ -46,6 +52,10 @@ class TorchMHA(nn.Module):
             params[name] = self.param(name, init, (e, e))
             params["b" + name[1:]] = self.param(
                 "b" + name[1:], nn.initializers.zeros, (e,))
+        if (use_pallas and deterministic and mask is not None
+                and jax.default_backend() == "tpu"):
+            from transcar_tpu.ops.pallas_attention import masked_mha_pallas
+            return masked_mha_pallas(q, k, v, params, self.num_heads, ~mask)
         rng = None
         if not deterministic and self.dropout > 0:
             rng = self.make_rng("dropout")
