@@ -1,0 +1,67 @@
+"""Tool-layer tests: BN folding preserves outputs bit-for-bit, config CLI
+round-trips, log analyzer parses the trainer's json lines."""
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transcar_tpu.models.resnet import ResNet
+from transcar_tpu.train.fold import fold_frozen_bn
+
+
+def test_fold_frozen_bn_preserves_outputs():
+    rng = np.random.default_rng(0)
+    bb = ResNet(depth=50, with_dcn=(False,) * 4, out_indices=(3,),
+                compute_dtype=None)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), x)
+    # give BN nontrivial stats
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * rng.normal(size=a.shape).astype(a.dtype), params)
+    ref = bb.apply(params, x)[0]
+    folded = {"params": fold_frozen_bn(params["params"])}
+    out = bb.apply(folded, x)[0]
+    # 50 conv layers on randomly perturbed weights amplify magnitudes to
+    # ~1e11, so compare relatively
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-3,
+                               atol=1e-4)
+
+
+def test_print_config_cli(capsys):
+    from transcar_tpu.cli.print_config import main
+    main(["transcar_r101", "--cfg-options", "train.optim.lr=0.001"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["train"]["optim"]["lr"] == 0.001
+    assert out["model"]["head"]["num_query"] == 900
+
+
+def test_analyze_logs_cli(tmp_path, capsys):
+    from transcar_tpu.cli.analyze_logs import main
+    log = tmp_path / "x.log.json"
+    with open(log, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"mode": "train", "epoch": 1, "iter": i,
+                                "time": 0.5 + i * 0.1, "loss_cls": 1.0,
+                                "loss_bbox": 2.0}) + "\n")
+    main(["cal_train_time", str(log)])
+    out = capsys.readouterr().out
+    assert "overall mean" in out
+    csv = tmp_path / "curve.csv"
+    main(["plot_curve", str(log), "--out", str(csv)])
+    assert csv.read_text().startswith("epoch,iter,loss_cls,loss_bbox")
+
+
+def test_config_overrides_and_presets():
+    from transcar_tpu.core.config import get_preset, list_presets
+    assert set(list_presets()) == {
+        "detr3d_r101", "transcar_r101", "transcar_r101_cbgs",
+        "transcar_vovnet_trainval", "objdgcnn_pillar"}
+    cfg = get_preset("transcar_vovnet_trainval")
+    assert cfg.model.backbone.kind == "vovnet99"
+    assert cfg.model.backbone.fpn_start_level == 0
+    cfg2 = get_preset("transcar_r101",
+                      {"model.head.num_query": "300",
+                       "data.img_hw": [256, 704]})
+    assert cfg2.model.head.num_query == 300
+    assert cfg2.data.img_hw == (256, 704)

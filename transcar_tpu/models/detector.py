@@ -70,6 +70,30 @@ class TransCARDetector(nn.Module):
         return self.head(mlvl, lidar2img, (h, w), radar_tokens,
                          deterministic=not train)
 
+    def aug_forward(self, images_augs: jnp.ndarray, lidar2img: jnp.ndarray,
+                    radar_tokens: Optional[jnp.ndarray] = None):
+        """Test-time augmentation: average backbone+neck features over the
+        augmented copies, then run the head once (``aug_test_pts``,
+        detr3d.py:195-209).
+
+        images_augs: [A, B, N, H, W, 3] (A augmented views of the batch).
+        """
+        a, b, n, h, w, _ = images_augs.shape
+        feats_per_aug = None
+        for ai in range(a):
+            x = images_augs[ai].reshape(b * n, h, w, 3)
+            feats = self.neck(self.backbone(x))
+            feats = [f.reshape(b, n, *f.shape[1:]).astype(jnp.float32)
+                     for f in feats]
+            if feats_per_aug is None:
+                feats_per_aug = feats
+            else:
+                feats_per_aug = [acc + f
+                                 for acc, f in zip(feats_per_aug, feats)]
+        mlvl = [f / a for f in feats_per_aug]
+        return self.head(mlvl, lidar2img, (h, w), radar_tokens,
+                         deterministic=True)
+
 
 def build_model(cfg: TransCARConfig) -> TransCARDetector:
     return TransCARDetector(cfg.model)

@@ -92,6 +92,21 @@ def train(cfg: TransCARConfig,
     sched = lr_schedule(cfg.train.optim, total_steps)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
+    # preemption handling (SURVEY.md §5 failure detection — the reference
+    # has none; we checkpoint on SIGTERM/SIGINT before exiting)
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass    # not on the main thread
+
     done = False
     for epoch in range(start_epoch, cfg.train.optim.total_epochs):
         t_iter = time.time()
@@ -107,6 +122,12 @@ def train(cfg: TransCARConfig,
                 rec.update({k: round(float(v), 4) for k, v in losses.items()})
                 logger.log(rec)
                 t_iter = time.time()
+            if preempted["flag"]:
+                ckpt.save_checkpoint(work_dir, int(state.step), state,
+                                     config_dict=config_to_dict(cfg))
+                logger.log({"mode": "train", "epoch": epoch + 1,
+                            "preempted": True, "step": int(state.step)})
+                return state
             if max_steps is not None and int(state.step) >= max_steps:
                 done = True
                 break
