@@ -1,0 +1,117 @@
+"""End-to-end train() integration test on a synthetic on-disk dataset:
+infos pkl + PNG images → loader → sharded train step → json log +
+checkpoint; then evaluate() → nuScenes submission json."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from transcar_tpu.core.config import (BackboneConfig, DataConfig, HeadConfig,
+                                      ModelConfig, OptimConfig, TrainConfig,
+                                      TransCARConfig)
+
+H, W = 64, 96
+
+
+def _make_dataset(root, n_samples=4):
+    from PIL import Image
+
+    img_dir = os.path.join(root, "samples")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(n_samples):
+        cams = {}
+        for ci, cam in enumerate(("CAM_FRONT", "CAM_FRONT_RIGHT",
+                                  "CAM_FRONT_LEFT", "CAM_BACK",
+                                  "CAM_BACK_LEFT", "CAM_BACK_RIGHT")):
+            path = os.path.join(img_dir, f"s{i}_{cam}.png")
+            Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(path)
+            a = 2 * np.pi * ci / 6
+            rot = np.array([[np.cos(a), -np.sin(a), 0],
+                            [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            cams[cam] = {
+                "data_path": path,
+                "sensor2lidar_rotation": rot,
+                "sensor2lidar_translation": np.zeros(3),
+                "cam_intrinsic": np.array(
+                    [[W, 0, W / 2], [0, W, H / 2], [0, 0, 1.0]]),
+            }
+        g = 3
+        boxes = np.zeros((g, 7))
+        boxes[:, :2] = rng.uniform(-30, 30, (g, 2))
+        boxes[:, 2] = rng.uniform(-1, 1, g)
+        boxes[:, 3:6] = rng.uniform(1, 4, (g, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, g)
+        infos.append({
+            "token": f"tok{i}",
+            "timestamp": 1000 + i,
+            "lidar_path": "",
+            "sweeps": [],
+            "cams": cams,
+            "lidar2ego_rotation": [1, 0, 0, 0],
+            "lidar2ego_translation": [0, 0, 0],
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [0, 0, 0],
+            "gt_boxes": boxes,
+            "gt_names": ["car", "bus", "pedestrian"],
+            "gt_velocity": rng.uniform(-2, 2, (g, 2)),
+            "num_lidar_pts": np.array([5, 5, 5]),
+            "num_radar_pts": np.array([1, 1, 1]),
+            "valid_flag": np.array([True, True, True]),
+        })
+    for name in ("nuscenes_infos_train.pkl", "nuscenes_infos_val.pkl"):
+        with open(os.path.join(root, name), "wb") as f:
+            pickle.dump({"infos": infos, "metadata": {"version": "test"}}, f)
+
+
+def _cfg(root, work):
+    return TransCARConfig(
+        name="e2e_test",
+        model=ModelConfig(
+            backbone=BackboneConfig(compute_dtype=None),
+            head=HeadConfig(num_query=16, num_decoder_layers=1,
+                            with_radar_fusion=False),
+            use_grid_mask=True),
+        data=DataConfig(data_root=root, img_hw=(H, W), max_gt_boxes=8,
+                        workers=2),
+        train=TrainConfig(
+            optim=OptimConfig(total_epochs=1, warmup_iters=2,
+                              freeze_camera_branch=False),
+            work_dir=work, mesh_shape=(2,)),
+    )
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_end_to_end(tmp_path):
+    root = str(tmp_path / "data")
+    work = str(tmp_path / "work")
+    os.makedirs(root)
+    _make_dataset(root)
+    cfg = _cfg(root, work)
+
+    from transcar_tpu.train.loop import evaluate, train
+
+    state = train(cfg, max_steps=2, log_interval=1)
+    assert int(state.step) == 2
+    logs = [f for f in os.listdir(work) if f.endswith(".log.json")]
+    assert logs
+    with open(os.path.join(work, logs[0])) as f:
+        recs = [json.loads(l) for l in f]
+    assert any(r.get("mode") == "train" and "loss_cls" in r for r in recs)
+    assert os.path.isdir(os.path.join(work, "checkpoints"))
+    assert os.path.exists(os.path.join(work, "config.json"))
+
+    out_path = evaluate(cfg, state.params, max_samples=2,
+                        out_path=os.path.join(work, "results.json"))
+    with open(out_path) as f:
+        sub = json.load(f)
+    assert "results" in sub and len(sub["results"]) == 2
+    for annos in sub["results"].values():
+        for a in annos:
+            assert set(a) >= {"sample_token", "translation", "size",
+                              "rotation", "velocity", "detection_name",
+                              "detection_score", "attribute_name"}

@@ -34,14 +34,16 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     mask = mask_ref[0]                 # [Qt, T] bool (True = visible)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * scale
     logits = jnp.where(mask, logits, _NEG)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     o_ref[0] = o / s
 
 
