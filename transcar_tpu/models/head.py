@@ -218,26 +218,31 @@ class TransCARHead(nn.Module):
         return x * keep / keepp
 
     def _fusion_keep_mask(self, centers_xy, box_coord, radar_xy, clamp):
-        """Three-circle visibility mask (detr3d_head.py:549-571).
+        return fusion_keep_mask(centers_xy, box_coord, radar_xy, clamp)
 
-        centers_xy: [B, Q, 2] metric; box_coord: [B, Q, 10] denormalized box
-        code driving (length, heading); radar_xy: [B, T, 2].
-        """
-        length = jnp.exp(box_coord[..., 3])                  # [B, Q]
-        # the reference negates both sin and cos and applies sin→x, cos→y
-        # (:554-559); replicated verbatim.
-        s = -box_coord[..., 6]
-        co = -box_coord[..., 7]
-        offset = 0.25 * length
-        front = centers_xy + jnp.stack([offset * s, offset * co], axis=-1)
-        rear = centers_xy - jnp.stack([offset * s, offset * co], axis=-1)
-        radii = jnp.clip(length * 0.5, clamp[0], clamp[1])[..., None]
 
-        def dist(a):
-            d2 = jnp.sum(
-                (a[:, :, None, :] - radar_xy[:, None, :, :]) ** 2, axis=-1)
-            return jnp.sqrt(jnp.maximum(d2, 0.0))
+def fusion_keep_mask(centers_xy, box_coord, radar_xy, clamp):
+    """Three-circle visibility mask (detr3d_head.py:549-571).
 
-        keep = ((dist(centers_xy) < radii) | (dist(front) < radii)
-                | (dist(rear) < radii))
-        return keep
+    centers_xy: [B, Q, 2] metric; box_coord: [B, Q, 10] denormalized box
+    code driving (length, heading); radar_xy: [B, T, 2].
+    Returns bool [B, Q, T], True = radar token visible to query.
+    """
+    length = jnp.exp(box_coord[..., 3])                  # [B, Q]
+    # the reference negates both sin and cos and applies sin→x, cos→y
+    # (:554-559); replicated verbatim.
+    s = -box_coord[..., 6]
+    co = -box_coord[..., 7]
+    offset = 0.25 * length
+    front = centers_xy + jnp.stack([offset * s, offset * co], axis=-1)
+    rear = centers_xy - jnp.stack([offset * s, offset * co], axis=-1)
+    radii = jnp.clip(length * 0.5, clamp[0], clamp[1])[..., None]
+
+    def dist(a):
+        d2 = jnp.sum(
+            (a[:, :, None, :] - radar_xy[:, None, :, :]) ** 2, axis=-1)
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    keep = ((dist(centers_xy) < radii) | (dist(front) < radii)
+            | (dist(rear) < radii))
+    return keep
