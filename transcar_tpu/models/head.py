@@ -148,21 +148,34 @@ class TransCARHead(nn.Module):
                 "all_cls_scores": jnp.stack(cam_cls),
                 "all_bbox_preds": jnp.stack(cam_coord),
             }
+        return self.fuse(query, inter_refs[-1], cam_coord[-1], radar_tokens,
+                         deterministic=deterministic)
 
-        # ---------------- TransCAR fusion ----------------
+    def fuse(self, query, ref01, cam_coord_last, radar_tokens,
+             deterministic: bool = True):
+        """TransCAR fusion stage (detr3d_head.py:538-729), exposed as its
+        own method so parity tests can drive it with fixed decoder outputs.
+
+        query: [B, Q, E] final decoder features (hs[5]);
+        ref01: [B, Q, 3] post-layer-6 reference points in [0, 1];
+        cam_coord_last: [B, Q, 10] camera layer-6 denormalized coords
+        (drives the layer-1 mask geometry); radar_tokens: [B, T, 36].
+        """
+        c = self.cfg
+        lo = jnp.asarray(c.pc_range[:3], jnp.float32)
+        hi = jnp.asarray(c.pc_range[3:], jnp.float32)
         radar_xy = radar_tokens[..., :2].astype(jnp.float32)  # [B, T, 2]
         radar_emb = (
             self.radar_pos_encoder(radar_tokens[..., :3])
             + self.radar_feat_encoder(radar_tokens))          # [B, T, E]
 
-        ref01 = inter_refs[-1]
         ref_m = ref01 * (hi - lo) + lo                        # denorm (:545-547)
         base_xy = ref_m[..., 0:2]
         if c.strict_reference_compat:
             base_z = ref01[..., 2:3]      # the z-denorm no-op quirk (:596-598)
         else:
             base_z = ref_m[..., 2:3]
-        tmp_prev = cam_coord[-1]          # camera layer-6 coords drive masks
+        tmp_prev = cam_coord_last         # camera layer-6 coords drive masks
 
         out_cls, out_coord = [], []
         centers_xy = base_xy
