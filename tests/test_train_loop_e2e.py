@@ -72,7 +72,9 @@ def _cfg(root, work):
     return TransCARConfig(
         name="e2e_test",
         model=ModelConfig(
-            backbone=BackboneConfig(compute_dtype=None),
+            backbone=BackboneConfig(
+                kind="resnet50", compute_dtype=None,
+                with_dcn=(False,) * 4),
             head=HeadConfig(num_query=16, num_decoder_layers=1,
                             with_radar_fusion=False),
             use_grid_mask=True),

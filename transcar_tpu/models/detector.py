@@ -29,9 +29,9 @@ class TransCARDetector(nn.Module):
 
     def setup(self):
         bc = self.cfg.backbone
-        if bc.kind == "resnet101":
+        if bc.kind in ("resnet101", "resnet50"):
             self.backbone = ResNet(
-                depth=101, with_dcn=bc.with_dcn,
+                depth=int(bc.kind[6:]), with_dcn=bc.with_dcn,
                 compute_dtype=bc.compute_dtype, name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(

@@ -96,6 +96,7 @@ class ResNet(nn.Module):
     with_dcn: Tuple[bool, ...] = (False, False, True, True)
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     compute_dtype: Optional[str] = "bfloat16"
+    remat: bool = True   # rematerialize blocks on backward (HBM for FLOPs)
 
     @nn.compact
     def __call__(self, x):
@@ -106,13 +107,14 @@ class ResNet(nn.Module):
                    name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         blocks = RESNET_DEPTHS[self.depth]
         outs = []
         planes = 64
         for stage, num_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
             for b in range(num_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
