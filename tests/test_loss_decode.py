@@ -128,3 +128,42 @@ def test_decode_matches_torch_restatement():
     np.testing.assert_allclose(np.asarray(out["boxes"][0]), boxes_t.numpy(),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out["valid"][0]), valid_t)
+
+
+def test_double_flip_tta_roundtrip():
+    """Flipping points, decoding, and unflipping must reproduce the
+    canonical boxes; the merge keeps the best-scored detections."""
+    from transcar_tpu.eval.tta import flip_points, unflip_boxes, \
+        merge_flip_detections
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(size=(1, 20, 5)).astype(np.float32))
+    # flip twice = identity
+    np.testing.assert_allclose(
+        np.asarray(flip_points(flip_points(pts, True, True), True, True)),
+        np.asarray(pts))
+    boxes = rng.normal(size=(5, 9)).astype(np.float32)
+    back = unflip_boxes(unflip_boxes(jnp.asarray(boxes), True, False),
+                        True, False)
+    np.testing.assert_allclose(np.asarray(back), boxes, rtol=1e-6)
+    # vertical double-unflip restores geometry up to yaw mod 2π
+    back_v = unflip_boxes(unflip_boxes(jnp.asarray(boxes), False, True),
+                          False, True)
+    np.testing.assert_allclose(np.asarray(back_v)[:, :6], boxes[:, :6],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.sin(np.asarray(back_v)[:, 6]),
+                               np.sin(boxes[:, 6]), atol=1e-6)
+
+    views = []
+    for i in range(2):
+        views.append({
+            "boxes": rng.normal(size=(4, 9)).astype(np.float32),
+            "scores": np.asarray([0.9 - i * 0.1, 0.5, 0.3, 0.2],
+                                 np.float32),
+            "labels": np.arange(4, dtype=np.int32),
+            "valid": np.asarray([True, True, False, True]),
+        })
+    merged = merge_flip_detections(views, [(False, False), (True, False)],
+                                   max_num=5)
+    assert merged["boxes"].shape == (5, 9)
+    assert (np.diff(merged["scores"]) <= 0).all()
+    assert merged["scores"][0] == np.float32(0.9)
