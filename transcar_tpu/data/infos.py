@@ -104,7 +104,12 @@ class NuScenesInfos:
                       gt_boxes, gt_labels, gt_names)
 
     def _rebase(self, path: str) -> str:
+        """Remap absolute paths baked into the infos pkl onto data_root
+        (the pkl may come from a different machine).  Paths that already
+        resolve are kept as-is."""
         import os
+        if os.path.exists(path):
+            return path
         marker = "nuscenes/"
         i = path.find(marker)
         rel = path[i + len(marker):] if i >= 0 else os.path.basename(path)

@@ -68,6 +68,19 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in keys}
 
 
+def _put_unless_stopped(q: "queue.Queue", item, stop: threading.Event,
+                        poll: float = 0.25) -> bool:
+    """Blocking put that aborts when the consumer abandoned the epoch
+    (avoids a producer wedged on a full queue)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=poll)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class PrefetchLoader:
     """Thread-pool prefetcher over a dataset of index → sample-dict."""
 
@@ -110,14 +123,19 @@ class PrefetchLoader:
 
         def producer():
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=max(self.workers, 1)) as ex:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    parts = list(ex.map(load_one, batch_idx,
-                                        range(len(batch_idx))))
-                    q.put(collate(parts))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(
+                        max_workers=max(self.workers, 1)) as ex:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        parts = list(ex.map(load_one, batch_idx,
+                                            range(len(batch_idx))))
+                        if not _put_unless_stopped(q, collate(parts), stop):
+                            return
+                _put_unless_stopped(q, None, stop)
+            except BaseException as e:     # propagate instead of deadlock
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -126,6 +144,8 @@ class PrefetchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -45,7 +45,8 @@ def nms_free_decode(preds: Dict[str, jnp.ndarray],
 def _decode_single(cls_scores, bbox_preds, cfg: HeadConfig):
     nc = cfg.num_classes
     scores = jax.nn.sigmoid(cls_scores).reshape(-1)          # [Q*C]
-    top_scores, idx = jax.lax.top_k(scores, cfg.max_detections)
+    k = min(cfg.max_detections, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
     labels = (idx % nc).astype(jnp.int32)
     box_idx = idx // nc
     box_codes = bbox_preds[box_idx]                          # [K, 10]
