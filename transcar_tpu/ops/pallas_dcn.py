@@ -38,16 +38,22 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
     """x_ref: [1, Hp, Wp, Cin] zero-padded full image (VMEM);
     om_ref: [1, TH, W, 32] offset+mask tile (27 used, padded to 32);
     w_ref: [9·Cin, Cout]; o_ref: [1, TH, W, Cout];
-    sampled_ref: [TH·W, 9·Cin] scratch."""
+    sampled_ref: [TH·W, 9·Cin] scratch.
+
+    Loops are rolled (lax.fori_loop over taps × window cells) — an
+    unrolled version wedges the Mosaic compiler at 576 cond regions."""
     i = pl.program_id(1)
     om = om_ref[0].astype(jnp.float32)
     row0 = i * th                      # top output row of this tile
+    span = 2 * c_max + 2               # shift cells per axis
+    ncell = span * span
 
-    for k in range(9):
-        ty, tx = k // 3 - 1, k % 3 - 1
-        dy = jnp.clip(om[..., 2 * k], -c_max, c_max)       # [TH, W]
-        dx = jnp.clip(om[..., 2 * k + 1], -c_max, c_max)
-        mk = jax.nn.sigmoid(om[..., 18 + k])
+    def tap_body(k, _):
+        ty = k // 3 - 1
+        tx = k % 3 - 1
+        dy = jnp.clip(_dyn_ch(om, 2 * k), -c_max, c_max)    # [TH, W]
+        dx = jnp.clip(_dyn_ch(om, 2 * k + 1), -c_max, c_max)
+        mk = jax.nn.sigmoid(_dyn_ch(om, 18 + k))
         a0 = jnp.floor(dy)
         b0 = jnp.floor(dx)
         fy = dy - a0
@@ -55,33 +61,42 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
         a0 = a0.astype(jnp.int32)
         b0 = b0.astype(jnp.int32)
 
-        acc = jnp.zeros((th, w_out, cin), jnp.float32)
-        # source shift cells: a ∈ [⌊-c⌋, ⌊c⌋+1]
-        for a in range(-c_max, c_max + 2):
+        def cell_body(cell, acc):
+            a = cell // span - c_max
+            b = cell % span - c_max
             wy = jnp.where(a0 == a, 1.0 - fy,
                            jnp.where(a0 == a - 1, fy, 0.0))
-            row_used = jnp.any(wy > 0.0)
-            for b in range(-c_max, c_max + 2):
-                wx = jnp.where(b0 == b, 1.0 - fx,
-                               jnp.where(b0 == b - 1, fx, 0.0))
-                wab = wy * wx * mk                          # [TH, W]
+            wx = jnp.where(b0 == b, 1.0 - fx,
+                           jnp.where(b0 == b - 1, fx, 0.0))
+            wab = wy * wx * mk                              # [TH, W]
 
-                def add(acc=acc, a=a, b=b, wab=wab):
-                    src = x_ref[0,
-                                pl.ds(row0 + pad + ty + a, th),
-                                pl.ds(pad + tx + b, w_out), :]
-                    return acc + wab[..., None] * src.astype(jnp.float32)
+            def add():
+                src = x_ref[0,
+                            pl.ds(row0 + pad + ty + a, th),
+                            pl.ds(pad + tx + b, w_out), :]
+                return acc + wab[..., None] * src.astype(jnp.float32)
 
-                # predicated: skip cells no pixel selects
-                acc = jax.lax.cond(jnp.any(wab > 0.0), add, lambda: acc)
-        sampled_ref[:, k * cin:(k + 1) * cin] = acc.reshape(
+            # predicated: skip cells no pixel selects
+            return jax.lax.cond(jnp.any(wab > 0.0), add, lambda: acc)
+
+        acc = jax.lax.fori_loop(
+            0, ncell, cell_body, jnp.zeros((th, w_out, cin), jnp.float32))
+        sampled_ref[:, pl.ds(k * cin, cin)] = acc.reshape(
             th * w_out, cin).astype(sampled_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
 
     out = jax.lax.dot_general(
         sampled_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(th, w_out, cout).astype(o_ref.dtype)
+
+
+def _dyn_ch(om, c):
+    """om[..., c] with a traced channel index."""
+    return jax.lax.dynamic_index_in_dim(om, c, axis=-1, keepdims=False)
 
 
 @functools.partial(jax.jit,
