@@ -46,14 +46,13 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
     om = om_ref[0].astype(jnp.float32)
     row0 = i * th                      # top output row of this tile
     span = 2 * c_max + 2               # shift cells per axis
-    ncell = span * span
 
-    def tap_body(k, _):
+    def tap_body(k):
         ty = k // 3 - 1
         tx = k % 3 - 1
-        dy = jnp.clip(_dyn_ch(om, 2 * k), -c_max, c_max)    # [TH, W]
-        dx = jnp.clip(_dyn_ch(om, 2 * k + 1), -c_max, c_max)
-        mk = jax.nn.sigmoid(_dyn_ch(om, 18 + k))
+        dy = jnp.clip(om[..., 2 * k], -c_max, c_max)        # [TH, W]
+        dx = jnp.clip(om[..., 2 * k + 1], -c_max, c_max)
+        mk = jax.nn.sigmoid(om[..., 18 + k])
         a0 = jnp.floor(dy)
         b0 = jnp.floor(dx)
         fy = dy - a0
@@ -61,31 +60,35 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
         a0 = a0.astype(jnp.int32)
         b0 = b0.astype(jnp.int32)
 
-        def cell_body(cell, acc):
-            a = cell // span - c_max
-            b = cell % span - c_max
+        def row_body(ai, acc):
+            # a rolled (dynamic H start is unconstrained); b unrolled —
+            # Mosaic requires static (or 8-aligned) W starts
+            a = ai - c_max
             wy = jnp.where(a0 == a, 1.0 - fy,
                            jnp.where(a0 == a - 1, fy, 0.0))
-            wx = jnp.where(b0 == b, 1.0 - fx,
-                           jnp.where(b0 == b - 1, fx, 0.0))
-            wab = wy * wx * mk                              # [TH, W]
 
-            def add():
-                src = x_ref[0,
-                            pl.ds(row0 + pad + ty + a, th),
-                            pl.ds(pad + tx + b, w_out), :]
-                return acc + wab[..., None] * src.astype(jnp.float32)
+            def row_add():
+                acc2 = acc
+                for b in range(-c_max, c_max + 2):
+                    wx = jnp.where(b0 == b, 1.0 - fx,
+                                   jnp.where(b0 == b - 1, fx, 0.0))
+                    wab = wy * wx * mk                      # [TH, W]
+                    src = x_ref[0,
+                                pl.ds(row0 + pad + ty + a, th),
+                                pad + tx + b:pad + tx + b + w_out, :]
+                    acc2 = acc2 + wab[..., None] * src.astype(jnp.float32)
+                return acc2
 
-            # predicated: skip cells no pixel selects
-            return jax.lax.cond(jnp.any(wab > 0.0), add, lambda: acc)
+            # predicated: skip source rows no pixel selects
+            return jax.lax.cond(jnp.any(wy > 0.0), row_add, lambda: acc)
 
         acc = jax.lax.fori_loop(
-            0, ncell, cell_body, jnp.zeros((th, w_out, cin), jnp.float32))
-        sampled_ref[:, pl.ds(k * cin, cin)] = acc.reshape(
+            0, span, row_body, jnp.zeros((th, w_out, cin), jnp.float32))
+        sampled_ref[:, k * cin:(k + 1) * cin] = acc.reshape(
             th * w_out, cin).astype(sampled_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, 9, tap_body, 0)
+    for k in range(9):       # static taps: channel indices must be static
+        tap_body(k)
 
     out = jax.lax.dot_general(
         sampled_ref[:], w_ref[:],
@@ -93,10 +96,6 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
         preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(th, w_out, cout).astype(o_ref.dtype)
 
-
-def _dyn_ch(om, c):
-    """om[..., c] with a traced channel index."""
-    return jax.lax.dynamic_index_in_dim(om, c, axis=-1, keepdims=False)
 
 
 @functools.partial(jax.jit,
