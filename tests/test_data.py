@@ -125,3 +125,21 @@ def test_gridmask_statistics():
     # prob=0 → identity
     out2 = grid_mask(x, jax.random.PRNGKey(0), prob=0.0)
     assert float(jnp.min(out2)) == 1.0
+
+
+def test_native_radar_featurizer_matches_numpy():
+    from transcar_tpu import native
+    rng = np.random.default_rng(9)
+    per, rots = {}, {}
+    ref_rot = _rot(rng)
+    ordered_pts, ordered_rots = [], []
+    for ch in RADAR_CHANNELS:
+        pts, times = _rand_radar(rng, 40)
+        per[ch] = (pts, times)
+        rots[ch] = _rot(rng)
+        ordered_pts.append((pts.astype(np.float32), times.astype(np.float32)))
+        ordered_rots.append(rots[ch])
+    ref = build_radar_tokens(per, rots, ref_rot, num_tokens=128)
+    out = native.radar_featurize(ordered_pts, ordered_rots, ref_rot,
+                                 num_tokens=128)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

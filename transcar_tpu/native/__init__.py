@@ -2,10 +2,11 @@
 
 Builds ``libtranscar_native.so`` on first use (g++ via the Makefile) and
 exposes:
-  * ``lapjv``         — single rectangular assignment solve
-  * ``lapjv_batched`` — batched solves without Python round-trips
-Falls back cleanly (raises ImportError) when no compiler is available;
-callers (ops/hungarian.py) degrade to scipy.
+  * ``lapjv``           — single rectangular assignment solve
+  * ``lapjv_batched``   — batched solves without Python round-trips
+  * ``radar_featurize`` — the 36-dim radar tokenizer hot path
+Falls back cleanly (raises on load failure) when no compiler is available;
+callers (ops/hungarian.py, data/radar.py) degrade to scipy/numpy.
 """
 from __future__ import annotations
 
@@ -70,4 +71,55 @@ def lapjv_batched(costs: np.ndarray, n_rows_per: np.ndarray) -> np.ndarray:
         b, r, c, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     if rc != 0:
         raise RuntimeError(f"lapjv_solve_batched failed with code {rc}")
+    return out
+
+
+def radar_featurize(per_channel, rotations, ref_rot,
+                    num_tokens: int = 1500, pad_value: float = 500.0,
+                    point_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+                    ) -> np.ndarray:
+    """Native counterpart of data.radar.build_radar_tokens.
+
+    Args:
+      per_channel: ordered list of (points [18, N] float32, times [1, N])
+        per radar channel.
+      rotations: matching list of [3, 3] float64 radar rotations.
+      ref_rot: [3, 3] float64 LIDAR_TOP rotation.
+    Returns:
+      [num_tokens, 36] float32 token buffer.
+    """
+    lib = _load()
+    if not hasattr(lib, "_radar_sig"):
+        lib.radar_featurize.restype = ctypes.c_int
+        lib.radar_featurize.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        lib._radar_sig = True
+
+    n_ch = len(per_channel)
+    pts = [np.ascontiguousarray(p, np.float32) for p, _ in per_channel]
+    tms = [np.ascontiguousarray(t.reshape(-1), np.float32)
+           for _, t in per_channel]
+    counts = np.asarray([p.shape[1] for p in pts], np.int32)
+    rots = np.ascontiguousarray(
+        np.stack([np.asarray(r, np.float64) for r in rotations]).reshape(-1))
+    refr = np.ascontiguousarray(np.asarray(ref_rot, np.float64).reshape(-1))
+    rng6 = np.asarray(point_range, np.float32)
+    out = np.empty((num_tokens, 36), np.float32)
+
+    fptr = ctypes.POINTER(ctypes.c_float)
+    pts_arr = (fptr * n_ch)(*[p.ctypes.data_as(fptr) for p in pts])
+    tms_arr = (fptr * n_ch)(*[t.ctypes.data_as(fptr) for t in tms])
+    lib.radar_featurize(
+        pts_arr, tms_arr,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_ch,
+        rots.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        refr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rng6.ctypes.data_as(fptr), ctypes.c_float(pad_value), num_tokens,
+        out.ctypes.data_as(fptr))
     return out
