@@ -191,3 +191,77 @@ def test_converted_tree_matches_flax_init():
     assert not extra_in_ckpt, sorted(extra_in_ckpt)[:8]
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def _synthetic_vovnet_sd():
+    """VoVNet-99 torch key layout (vovnet.py naming with '/'-keys)."""
+    from transcar_tpu.models.vovnet import V99_SPEC
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def add_convbn(key, o, i, k):
+        sd[f"{key}/conv.weight"] = rng.normal(size=(o, i, k, k)).astype(
+            np.float32)
+        for s, sh in (("weight", o), ("bias", o), ("running_mean", o),
+                      ("running_var", o)):
+            sd[f"{key}/norm.{s}"] = rng.normal(size=sh).astype(np.float32)
+
+    p = "img_backbone"
+    stem = V99_SPEC["stem"]
+    add_convbn(f"{p}.stem.stem_1", stem[0], 3, 3)
+    add_convbn(f"{p}.stem.stem_2", stem[1], stem[0], 3)
+    add_convbn(f"{p}.stem.stem_3", stem[2], stem[1], 3)
+    in_ch = stem[2]
+    for si in range(4):
+        stage = si + 2
+        sc = V99_SPEC["stage_conv_ch"][si]
+        oc = V99_SPEC["stage_out_ch"][si]
+        for b in range(V99_SPEC["block_per_stage"][si]):
+            mod = f"{p}.stage{stage}.OSA{stage}_{b + 1}"
+            cur = in_ch if b == 0 else oc
+            for l in range(V99_SPEC["layer_per_block"]):
+                add_convbn(f"{mod}.layers.{l}.OSA{stage}_{b + 1}_{l}", sc,
+                           cur, 3)
+                cur = sc
+            concat_in = (in_ch if b == 0 else oc) + 5 * sc
+            add_convbn(f"{mod}.concat.OSA{stage}_{b + 1}_concat", oc,
+                       concat_in, 1)
+            sd[f"{mod}.ese.fc.weight"] = rng.normal(
+                size=(oc, oc, 1, 1)).astype(np.float32)
+            sd[f"{mod}.ese.fc.bias"] = rng.normal(size=oc).astype(np.float32)
+        in_ch = oc
+    return sd
+
+
+@pytest.mark.slow
+def test_vovnet_conversion_matches_flax_init():
+    import jax.numpy as jnp
+    from transcar_tpu.models.vovnet import VoVNet
+    from transcar_tpu.train.convert import _Tree, _convert_vovnet
+
+    sd = _synthetic_vovnet_sd()
+    t = _Tree(sd)
+    _convert_vovnet(t)
+    assert not t.missing, t.missing[:8]
+    assert not [k for k in sd if k not in t.used]
+
+    model = VoVNet(compute_dtype=None)
+    x = np.zeros((1, 64, 96, 3), np.float32)
+    init = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x))["params"]
+
+    def flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = tuple(v.shape)
+        return out
+
+    got = flatten(t.params["backbone"])
+    want = flatten(init)
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])

@@ -121,9 +121,12 @@ def build_radar_tokens(per_channel: Dict[str, Tuple[np.ndarray, np.ndarray]],
 
 
 def load_radar_tokens(nusc, sample_token: str, nsweeps: int = 5,
-                      num_tokens: int = 1500) -> np.ndarray:
+                      num_tokens: int = 1500,
+                      use_native: bool = True) -> np.ndarray:
     """Devkit-backed loader matching the reference call pattern
-    (detr3d_head.py:305-315).  Requires nuscenes-devkit + raw data."""
+    (detr3d_head.py:305-315).  Requires nuscenes-devkit + raw data.
+    Featurization runs through the C++ tokenizer (transcar_tpu/native)
+    when built, else the numpy path — parity-tested identical."""
     from nuscenes.utils.data_classes import RadarPointCloud
     from pyquaternion import Quaternion
 
@@ -140,5 +143,15 @@ def load_radar_tokens(nusc, sample_token: str, nsweeps: int = 5,
         cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
         per_channel[ch] = (pc.points, times)
         rotations[ch] = Quaternion(cs["rotation"]).rotation_matrix
+
+    if use_native:
+        try:
+            from transcar_tpu import native
+            return native.radar_featurize(
+                [per_channel[ch] for ch in RADAR_CHANNELS],
+                [rotations[ch] for ch in RADAR_CHANNELS], ref_rot,
+                num_tokens=num_tokens)
+        except Exception:
+            pass   # no compiler / load failure → numpy path
     return build_radar_tokens(per_channel, rotations, ref_rot,
                               num_tokens=num_tokens)
