@@ -97,6 +97,9 @@ class HeadConfig:
     score_threshold: Optional[float] = None
     # replicate reference numerical quirks bit-for-bit (SURVEY.md §7 item 4)
     strict_reference_compat: bool = True
+    # fused Pallas masked attention for the fusion layers (TPU inference
+    # path; XLA serves autodiff/CPU either way)
+    use_pallas_attention: bool = True
 
 
 @dataclass(frozen=True)

@@ -217,7 +217,8 @@ class TransCARHead(nn.Module):
         (rf_dropout2*, applied only to updated rows)."""
         attn = self.fusion_attns[i]
         out = attn(query, radar_emb, radar_emb, mask=~keep,
-                   deterministic=deterministic, use_pallas=True)
+                   deterministic=deterministic,
+                   use_pallas=self.cfg.use_pallas_attention)
         gate = jnp.any(keep, axis=-1, keepdims=True).astype(query.dtype)
         out = self._dropout(out, deterministic) * gate
         return out, gate

@@ -38,16 +38,21 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
     """x_ref: [1, Hp, Wp, Cin] zero-padded full image (VMEM);
     om_ref: [1, TH, W, 32] offset+mask tile (27 used, padded to 32);
     w_ref: [9·Cin, Cout]; o_ref: [1, TH, W, Cout];
-    sampled_ref: [TH·W, 9·Cin] scratch.
+    sampled_ref: [TH·W, 9·Cin] fp32 accumulator scratch.
 
-    Loops are rolled (lax.fori_loop over taps × window cells) — an
-    unrolled version wedges the Mosaic compiler at 576 cond regions."""
+    Structure notes (three iterations measured, see docs/PERF_NOTES.md):
+    per-tap register-carried accumulation with the source-row loop rolled
+    (dynamic H starts are fine) and the W shift unrolled (Mosaic requires
+    static sublane starts).  A fully unrolled variant (576 cond regions)
+    wedges the Mosaic compiler; a shared-load absolute-shift variant with
+    scratch RMW accumulation is 2.5× slower (VMEM read-modify-write
+    dominates); per-row lax.cond predication was a wash and is omitted."""
     i = pl.program_id(1)
     om = om_ref[0].astype(jnp.float32)
     row0 = i * th                      # top output row of this tile
     span = 2 * c_max + 2               # shift cells per axis
 
-    def tap_body(k):
+    for k in range(9):                 # static taps (static channel slices)
         ty = k // 3 - 1
         tx = k % 3 - 1
         dy = jnp.clip(om[..., 2 * k], -c_max, c_max)        # [TH, W]
@@ -60,38 +65,28 @@ def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
         a0 = a0.astype(jnp.int32)
         b0 = b0.astype(jnp.int32)
 
-        def row_body(ai, acc):
-            # a rolled (dynamic H start is unconstrained); b unrolled —
-            # Mosaic requires static (or 8-aligned) W starts
+        def row_body(ai, acc, ty=ty, tx=tx, a0=a0, b0=b0, fy=fy, fx=fx,
+                     mk=mk):
             a = ai - c_max
             wy = jnp.where(a0 == a, 1.0 - fy,
                            jnp.where(a0 == a - 1, fy, 0.0))
-
-            def row_add():
-                acc2 = acc
-                for b in range(-c_max, c_max + 2):
-                    wx = jnp.where(b0 == b, 1.0 - fx,
-                                   jnp.where(b0 == b - 1, fx, 0.0))
-                    wab = wy * wx * mk                      # [TH, W]
-                    src = x_ref[0,
-                                pl.ds(row0 + pad + ty + a, th),
-                                pad + tx + b:pad + tx + b + w_out, :]
-                    acc2 = acc2 + wab[..., None] * src.astype(jnp.float32)
-                return acc2
-
-            # predicated: skip source rows no pixel selects
-            return jax.lax.cond(jnp.any(wy > 0.0), row_add, lambda: acc)
+            for b in range(-c_max, c_max + 2):
+                wx = jnp.where(b0 == b, 1.0 - fx,
+                               jnp.where(b0 == b - 1, fx, 0.0))
+                wab = wy * wx * mk                          # [TH, W]
+                src = x_ref[0,
+                            pl.ds(row0 + pad + ty + a, th),
+                            pad + tx + b:pad + tx + b + w_out, :]
+                acc = acc + wab[..., None] * src.astype(jnp.float32)
+            return acc
 
         acc = jax.lax.fori_loop(
             0, span, row_body, jnp.zeros((th, w_out, cin), jnp.float32))
         sampled_ref[:, k * cin:(k + 1) * cin] = acc.reshape(
-            th * w_out, cin).astype(sampled_ref.dtype)
-
-    for k in range(9):       # static taps: channel indices must be static
-        tap_body(k)
+            th * w_out, cin)
 
     out = jax.lax.dot_general(
-        sampled_ref[:], w_ref[:],
+        sampled_ref[:].astype(x_ref.dtype), w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(th, w_out, cout).astype(o_ref.dtype)
@@ -141,7 +136,7 @@ def modulated_deform_conv_fast(x: jnp.ndarray, offset_mask: jnp.ndarray,
                                lambda ni, ti: (ni, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h_pad, w, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((th * w, 9 * cin), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((th * w, 9 * cin), jnp.float32)],
         interpret=interpret,
     )(xp, om, w2)
     return out[:, :h]
