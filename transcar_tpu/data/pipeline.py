@@ -15,7 +15,7 @@ mean (103.53, 116.28, 123.675), std 1, to_rgb=False) and are stacked to
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

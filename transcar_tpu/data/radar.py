@@ -26,7 +26,7 @@ kept for parity, the cap is a config knob.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ detr3d_transformer.py:191 and detr3d_head.py:284).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,9 +9,8 @@ one extra conv and no relu — reproduced).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
