@@ -124,3 +124,19 @@ def test_objdgcnn_forward_tiny():
     assert out["all_cls_scores"].shape == (2, 1, 16, 10)
     assert out["all_bbox_preds"].shape == (2, 1, 16, 10)
     assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()
+
+
+def test_objdgcnn_voxel_forward_tiny():
+    rng = np.random.default_rng(3)
+    cfg = HeadConfig(num_query=8, num_decoder_layers=1,
+                     with_radar_fusion=False, num_levels=4, pc_range=PC)
+    model = ObjDGCNN(cfg, encoder="voxel", voxel_size=(0.5, 0.5, 0.75),
+                     max_points=5, max_voxels=256, bev_hw=(32, 32),
+                     sparse_shape=(8, 32, 32))
+    pts = rng.uniform(-7, 7, (1, 300, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2.5, 2.5, (1, 300))
+    n = jnp.asarray([250], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), n)
+    out = model.apply(params, jnp.asarray(pts), n)
+    assert out["all_cls_scores"].shape == (1, 1, 8, 10)
+    assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()

@@ -124,7 +124,8 @@ class DGCNNAttn(nn.Module):
             # affinity = cdist; torch.topk keeps the K LARGEST distances
             d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, -1)
             aff = jnp.sqrt(jnp.maximum(d2, 0.0))
-            _, idx = jax.lax.top_k(aff, self.k)              # [B, N, K]
+            k = min(self.k, x.shape[1])
+            _, idx = jax.lax.top_k(aff, k)                   # [B, N, K]
             neigh = jnp.take_along_axis(
                 x[:, None, :, :].repeat(x.shape[1], 1), idx[..., None],
                 axis=2)                                      # [B, N, K, C]
@@ -281,13 +282,21 @@ class DGCNN3DHead(nn.Module):
 
 
 class ObjDGCNN(nn.Module):
-    """Full LiDAR detector: pillars → SECOND → FPN → DGCNN head."""
+    """Full LiDAR detector: pillars/voxels → SECOND → FPN → DGCNN head.
+
+    ``encoder='pillar'``: PillarFeatureNet + scatter (pillar.py config).
+    ``encoder='voxel'``: HardSimpleVFE (per-voxel point mean) + sparse 3D
+    encoder (voxel.py:30-43) with the voxel config's two-stage SECOND
+    (in 256, out (128, 256), strides (1, 2), :44-51).
+    """
 
     cfg: HeadConfig
+    encoder: str = "pillar"
     voxel_size: Tuple[float, float, float] = (0.2, 0.2, 8.0)
     max_points: int = 20
     max_voxels: int = 30000
     bev_hw: Tuple[int, int] = (512, 512)
+    sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)
 
     @nn.compact
     def __call__(self, points, num_points, deterministic: bool = True):
@@ -299,15 +308,36 @@ class ObjDGCNN(nn.Module):
                                        self.max_points, self.max_voxels)
         )(points, num_points)
         pv, m, f = voxels.shape[1:]
-        feats = PillarFeatureNet(64, self.voxel_size[:2], c.pc_range,
-                                 name="vfe")(
-            voxels.reshape(b * pv, m, f), coords.reshape(b * pv, 3),
-            counts.reshape(b * pv))
-        feats = feats.reshape(b, pv, -1)
-        canvas = jax.vmap(
-            lambda ft, co, n: pillar_scatter(ft, co, n, self.bev_hw)
-        )(feats, coords, nv)                                # [B, H, W, 64]
-        feats = SECOND(name="backbone")(canvas)
-        feats = BNFPN(num_outs=c.num_levels, name="neck")(feats)
+
+        if self.encoder == "pillar":
+            feats = PillarFeatureNet(64, self.voxel_size[:2], c.pc_range,
+                                     name="vfe")(
+                voxels.reshape(b * pv, m, f), coords.reshape(b * pv, 3),
+                counts.reshape(b * pv))
+            feats = feats.reshape(b, pv, -1)
+            canvas = jax.vmap(
+                lambda ft, co, n: pillar_scatter(ft, co, n, self.bev_hw)
+            )(feats, coords, nv)                            # [B, H, W, 64]
+            feats = SECOND(name="backbone")(canvas)
+        elif self.encoder == "voxel":
+            from transcar_tpu.models.sparse_encoder import SparseEncoder
+
+            # HardSimpleVFE: per-voxel mean of raw point features
+            denom = jnp.maximum(counts, 1)[..., None].astype(voxels.dtype)
+            vfeats = jnp.sum(voxels, axis=2) / denom        # [B, V, F]
+            enc = nn.vmap(
+                SparseEncoder,
+                in_axes=(0, 0, 0), out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )(sparse_shape=self.sparse_shape, name="middle_encoder")
+            canvas = enc(vfeats, coords, nv)                # [B, H', W', 256]
+            feats = SECOND(layer_nums=(5, 5), layer_strides=(1, 2),
+                           out_channels=(128, 256), name="backbone")(canvas)
+        else:
+            raise ValueError(f"unknown encoder {self.encoder!r}")
+
+        feats = BNFPN(in_channels=tuple(f.shape[-1] for f in feats),
+                      num_outs=c.num_levels, name="neck")(feats)
         return DGCNN3DHead(c, self.bev_hw, name="head")(
             feats, deterministic=deterministic)
