@@ -56,7 +56,7 @@ def test_config_overrides_and_presets():
     from transcar_tpu.core.config import get_preset, list_presets
     assert set(list_presets()) == {
         "detr3d_r101", "transcar_r101", "transcar_r101_cbgs",
-        "transcar_vovnet_trainval", "objdgcnn_pillar"}
+        "transcar_vovnet_trainval", "objdgcnn_pillar", "objdgcnn_voxel"}
     cfg = get_preset("transcar_vovnet_trainval")
     assert cfg.model.backbone.kind == "vovnet99"
     assert cfg.model.backbone.fpn_start_level == 0

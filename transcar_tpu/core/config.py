@@ -221,9 +221,22 @@ def _transcar_vovnet_trainval() -> TransCARConfig:
 
 def _objdgcnn_pillar() -> TransCARConfig:
     # configs/obj_dgcnn/pillar.py — LiDAR track; model wiring lives in
-    # transcar_tpu.models.dgcnn.
+    # transcar_tpu.models.dgcnn (encoder='pillar').
     return TransCARConfig(
         name="objdgcnn_pillar",
+        model=ModelConfig(
+            backbone=BackboneConfig(kind="second"),
+            head=HeadConfig(num_query=300, with_radar_fusion=False),
+            use_grid_mask=False,
+        ),
+    )
+
+
+def _objdgcnn_voxel() -> TransCARConfig:
+    # configs/obj_dgcnn/voxel.py — sparse 3D encoder variant
+    # (models.dgcnn.ObjDGCNN with encoder='voxel').
+    return TransCARConfig(
+        name="objdgcnn_voxel",
         model=ModelConfig(
             backbone=BackboneConfig(kind="second"),
             head=HeadConfig(num_query=300, with_radar_fusion=False),
@@ -238,6 +251,7 @@ _PRESETS = {
     "transcar_r101_cbgs": _transcar_r101_cbgs,
     "transcar_vovnet_trainval": _transcar_vovnet_trainval,
     "objdgcnn_pillar": _objdgcnn_pillar,
+    "objdgcnn_voxel": _objdgcnn_voxel,
 }
 
 
