@@ -143,3 +143,33 @@ def test_native_radar_featurizer_matches_numpy():
     out = native.radar_featurize(ordered_pts, ordered_rots, ref_rot,
                                  num_tokens=128)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gridmask_stripes_match_reference_loop():
+    """Our modular-arithmetic stripes vs a numpy restatement of the
+    reference's canvas loop (grid_mask.py:93-111, crop :111, rotate=1 is a
+    no-op)."""
+    from transcar_tpu.data.gridmask import stripe_pattern
+
+    def reference_rows(size, d, st, ratio=0.5):
+        canvas = int(1.5 * size)
+        l = min(max(int(d * ratio + 0.5), 1), d - 1)
+        mask = np.ones(canvas)
+        for i in range(canvas // d):
+            s = d * i + st
+            t = min(s + l, canvas)
+            mask[s:t] = 0
+        off = (canvas - size) // 2
+        return mask[off:off + size] == 0    # True = striped
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        h, w = int(rng.integers(8, 80)), int(rng.integers(8, 120))
+        d = int(rng.integers(2, h))
+        st_h, st_w = int(rng.integers(d)), int(rng.integers(d))
+        row, col = stripe_pattern(h, w, jnp.int32(d), jnp.int32(st_h),
+                                  jnp.int32(st_w))
+        np.testing.assert_array_equal(np.asarray(row),
+                                      reference_rows(h, d, st_h), err_msg=f"{h},{d},{st_h}")
+        np.testing.assert_array_equal(np.asarray(col),
+                                      reference_rows(w, d, st_w), err_msg=f"{w},{d},{st_w}")

@@ -32,30 +32,35 @@ def grid_mask(images: jnp.ndarray, rng: jax.Array, prob: float = 0.7,
       Masked images, same shape.
     """
     h, w = images.shape[-3], images.shape[-2]
-    hh, ww = int(1.5 * h), int(1.5 * w)
     k_apply, k_d, k_sth, k_stw = jax.random.split(rng, 4)
 
     apply = jax.random.uniform(k_apply) <= prob
     # d ~ randint(2, h) (grid_mask.py:91)
     d = jax.random.randint(k_d, (), 2, h)
-    # l = min(max(int(d*ratio + .5), 1), d-1) (:92)
-    l = jnp.clip((d.astype(jnp.float32) * ratio + 0.5).astype(jnp.int32),
-                 1, d - 1)
     st_h = jax.random.randint(k_sth, (), 0, 1 << 30) % d
     st_w = jax.random.randint(k_stw, (), 0, 1 << 30) % d
-
-    def striped(size, canvas, st):
-        """True where the position (in the center-cropped window of the
-        1.5× canvas) falls inside a stripe [d·i + st, d·i + st + l)."""
-        g = jnp.arange(size) + (canvas - size) // 2
-        kk = g - st
-        i = kk // d
-        return (kk >= 0) & (kk % d < l) & (i < canvas // d)
-
-    row = striped(h, hh, st_h)
-    col = striped(w, ww, st_w)
+    row, col = stripe_pattern(h, w, d, st_h, st_w, ratio)
     zeroed = row[:, None] | col[None, :]
     keep = zeroed  # mode=1: mask = 1 - mask (:114-115)
     mask = keep.astype(images.dtype)[..., :, :, None]
     masked = images * mask
     return jnp.where(apply, masked, images)
+
+
+def stripe_pattern(h: int, w: int, d, st_h, st_w, ratio: float = 0.5):
+    """Deterministic core of the stripe construction, exposed for parity
+    testing against the reference's loop (grid_mask.py:93-111):
+    position g (in the center-cropped window of the 1.5× canvas) is striped
+    iff g ∈ [d·i + st, d·i + st + l) for some 0 ≤ i < (1.5·size)//d."""
+    # l = min(max(int(d*ratio + .5), 1), d-1) (:92)
+    l = jnp.clip((d.astype(jnp.float32) * ratio + 0.5).astype(jnp.int32),
+                 1, d - 1)
+
+    def striped(size, canvas, st):
+        g = jnp.arange(size) + (canvas - size) // 2
+        kk = g - st
+        i = kk // d
+        return (kk >= 0) & (kk % d < l) & (i < canvas // d)
+
+    return (striped(h, int(1.5 * h), st_h),
+            striped(w, int(1.5 * w), st_w))
