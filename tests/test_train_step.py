@@ -72,3 +72,32 @@ def test_loss_decreases_on_fixed_batch():
     last = float(losses["total"])
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_param_group_labels_full_training_mode():
+    """DETR3D full-training mode: backbone params get the lr-mult group,
+    FrozenBN stats stay frozen, head trains (tools/train.py param groups +
+    requires_grad semantics)."""
+    from transcar_tpu.train.optim import make_labels
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=8, radar_tokens=16,
+                       fusion=False)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = ge._fake_batch(rng, 1, 6, 64, 96, 16, max_gt=4)
+    state, _ = init_state(cfg, model, batch, total_steps=10,
+                          rng=jax.random.PRNGKey(0))
+    labels = make_labels(state.params, freeze_camera=False,
+                         backbone_lr_mult=0.1)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    seen = {"backbone": 0, "main": 0, "frozen": 0}
+    for path, lab in flat:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        seen[lab] += 1
+        if keys[0] == "backbone":
+            if any(k == "bn" or k.startswith("bn") for k in keys[1:]):
+                assert lab == "frozen", keys
+            else:
+                assert lab in ("backbone", "frozen"), keys
+        else:
+            assert lab == "main", keys
+    assert seen["backbone"] > 0 and seen["main"] > 0 and seen["frozen"] > 0

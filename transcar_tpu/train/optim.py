@@ -49,17 +49,21 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float):
     def label(path, _):
         keys = [getattr(p, "key", str(p)) for p in path]
         top = keys[0] if keys else ""
+        # FrozenBN statistics are stored as params for checkpoint
+        # round-tripping but are buffers in torch — never optimized
+        if keys and keys[-1] in ("mean", "var"):
+            return "frozen"
         if freeze_camera:
             # TransCAR mode: only head fusion/final/radar params train
             if top == "head" and len(keys) > 1 and keys[1].startswith(
                     _FUSION_PREFIXES):
                 return "main"
             return "frozen"
-        # DETR3D full training: backbone gets lr ×0.1; FrozenBN stats and
-        # affine params never train (requires_grad=False in the reference)
-        if any(k == "bn" or k.startswith("bn") for k in keys[1:]):
-            if top in ("backbone",):
-                return "frozen"
+        # DETR3D full training: backbone gets lr ×0.1; its frozen-BN affine
+        # params never train (requires_grad=False, norm_eval config :38-39)
+        if top == "backbone" and any(
+                k == "bn" or k.startswith("bn") for k in keys[1:]):
+            return "frozen"
         if top == "backbone":
             return "backbone"
         return "main"
