@@ -128,7 +128,10 @@ class DataConfig:
     img_hw: Tuple[int, int] = (928, 1600)   # 900×1600 padded to ÷32
     radar_sweeps: int = 5
     use_cbgs: bool = False
-    max_gt_boxes: int = 256          # static padding for jit (SURVEY §7.3)
+    # static GT padding for jit (SURVEY §7.3); the on-device Hungarian
+    # solve scales ~quadratically in this, and range-filtered nuScenes
+    # samples stay under ~120 boxes
+    max_gt_boxes: int = 128
     photometric_distortion: bool = True
     workers: int = 4
     samples_per_device: int = 1
