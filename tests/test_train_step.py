@@ -101,3 +101,28 @@ def test_param_group_labels_full_training_mode():
         else:
             assert lab == "main", keys
     assert seen["backbone"] > 0 and seen["main"] > 0 and seen["frozen"] > 0
+
+
+def test_tensor_parallel_sharding_specs():
+    """dp×tp mesh: Megatron-pattern specs land on the head matmuls and
+    the train step runs (XLA inserts the TP collectives)."""
+    from transcar_tpu.parallel.mesh import make_mesh
+    from transcar_tpu.parallel.sharding import tp_sharding_tree
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=8, radar_tokens=16)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = ge._fake_batch(rng, 2, 6, 64, 96, 16, max_gt=4)
+    state, _ = init_state(cfg, model, batch, total_steps=10,
+                          rng=jax.random.PRNGKey(0))
+    mesh = make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    shardings = tp_sharding_tree(state.params, mesh)
+    head = shardings["head"]
+    assert head["fusion0_linear1"]["kernel"].spec == (None, "model")
+    assert head["fusion0_linear2"]["kernel"].spec == ("model", None)
+    assert head["fusion0_attn"]["wq"].spec == (None, "model")
+    assert head["fusion0_attn"]["wo"].spec == ("model", None)
+    # non-matmul params replicated
+    assert head["fusion0_norm2"]["scale"].spec == ()
+
+    ge.dryrun_multichip(4)   # executes one dp2×tp2 step end-to-end
