@@ -35,7 +35,7 @@ class BackboneConfig:
     Parity: configs/detr3d/detr3d_res101_gridmask.py:32-50 and
     detr3d_vovnet_gridmask_det_final_trainval_cbgs.py:32-46.
     """
-    kind: str = "resnet101"          # "resnet101" | "vovnet99"
+    kind: str = "resnet101"          # "resnet101" | "resnet50" | "vovnet99"
     frozen_stages: int = 1           # caffe-style stage freezing
     norm_eval: bool = True           # BN frozen (folded scale/bias)
     with_dcn: Tuple[bool, ...] = (False, False, True, True)
@@ -45,8 +45,9 @@ class BackboneConfig:
     fpn_num_outs: int = 4
     fpn_add_extra_convs: str = "on_output"
     fpn_relu_before_extra_convs: bool = True
-    compute_dtype: str = "bfloat16"  # backbone compute dtype (fp16 boundary
-                                     # analog of @auto_fp16, detr3d.py:68)
+    compute_dtype: Optional[str] = "bfloat16"   # backbone compute dtype
+                                     # (the @auto_fp16 analog, detr3d.py:68);
+                                     # None = inherit input dtype
 
 
 @dataclass(frozen=True)
