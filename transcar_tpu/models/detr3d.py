@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -63,7 +64,8 @@ class Detr3DCrossAttention(nn.Module):
         sampled = sampled[:, :, :, None, :, :]                # [B,Q,N,P,L,E]
         vis_w = vis.transpose(0, 2, 1)[:, :, :, None, None]   # [B,Q,N,1,1]
         w = nn.sigmoid(weights) * vis_w.astype(weights.dtype)
-        fused = jnp.einsum("bqnple,bqnpl->bqe", sampled, w)
+        fused = jnp.einsum("bqnple,bqnpl->bqe", sampled, w,
+                           precision=jax.lax.Precision.HIGHEST)
 
         out = Dense(self.embed_dims, name="output_proj")(fused)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)

@@ -48,5 +48,6 @@ def ms_deform_attn_core(value: jnp.ndarray,
         sampled = sampled.reshape(b, h, q, p, d)
         wgt = attention_weights[:, :, :, li].transpose(0, 2, 1, 3)  # [B,H,Q,P]
         out = out + jnp.einsum("bhqpd,bhqp->bqhd", sampled,
-                               wgt.astype(sampled.dtype))
+                               wgt.astype(sampled.dtype),
+                               precision=jax.lax.Precision.HIGHEST)
     return out.reshape(b, q, h * d)
