@@ -64,6 +64,9 @@ def main():
         "value": round(sps, 3),
         "unit": "samples/s",
         "vs_baseline": round(sps / 2.0, 3),
+        "baseline_assumed": 2.0,
+        "baseline_basis": "DETR3D-R101-class bs1 V100 figure; the "
+                          "reference publishes no FPS (SURVEY.md §6)",
     }))
 
 

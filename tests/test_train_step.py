@@ -87,20 +87,52 @@ def test_param_group_labels_full_training_mode():
     state, _ = init_state(cfg, model, batch, total_steps=10,
                           rng=jax.random.PRNGKey(0))
     labels = make_labels(state.params, freeze_camera=False,
-                         backbone_lr_mult=0.1)
+                         backbone_lr_mult=0.1, frozen_stages=1)
     flat = jax.tree_util.tree_flatten_with_path(labels)[0]
     seen = {"backbone": 0, "main": 0, "frozen": 0}
+    frozen_stage1 = 0
     for path, lab in flat:
         keys = [getattr(k, "key", str(k)) for k in path]
         seen[lab] += 1
         if keys[0] == "backbone":
             if any(k == "bn" or k.startswith("bn") for k in keys[1:]):
                 assert lab == "frozen", keys
+            elif keys[1].startswith(("stem", "layer1_")):
+                # frozen_stages=1: stem + layer1 are requires_grad=False in
+                # the reference (mmdet ResNet._freeze_stages)
+                assert lab == "frozen", keys
+                frozen_stage1 += 1
             else:
-                assert lab in ("backbone", "frozen"), keys
+                assert lab == "backbone", keys
         else:
             assert lab == "main", keys
     assert seen["backbone"] > 0 and seen["main"] > 0 and seen["frozen"] > 0
+    assert frozen_stage1 > 0, "no stem/layer1 conv params found"
+
+
+def test_warm_start_merges_partial_checkpoint_over_template():
+    """Camera-only DETR3D → radar-fusion TransCAR warm start: subtrees
+    absent from the converted checkpoint keep their fresh init instead of
+    crashing a strict tree_map (tools/train.py --load-from semantics)."""
+    from transcar_tpu.train.loop import _merge_over_template
+
+    template = {
+        "backbone": {"stem": {"kernel": np.zeros((3, 3), np.float32)}},
+        "head": {
+            "fusion0_attn": {"wq": np.zeros((4, 4), np.float32)},
+            "cls0": {"kernel": np.zeros((2, 2), np.float32)},
+        },
+    }
+    loaded = {   # no head.fusion0_attn at all, and stem in float64
+        "backbone": {"stem": {"kernel": np.ones((3, 3), np.float64)}},
+        "head": {"cls0": {"kernel": 2 * np.ones((2, 2), np.float32)}},
+    }
+    merged, kept = _merge_over_template(template, loaded)
+    assert np.all(merged["backbone"]["stem"]["kernel"] == 1.0)
+    assert merged["backbone"]["stem"]["kernel"].dtype == np.float32
+    assert np.all(merged["head"]["cls0"]["kernel"] == 2.0)
+    assert np.all(merged["head"]["fusion0_attn"]["wq"] == 0.0)
+    assert kept == ["head/fusion0_attn/wq"]
 
 
 def test_tensor_parallel_sharding_specs():

@@ -13,6 +13,7 @@ data are available.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def parse_overrides(pairs):
@@ -41,8 +42,15 @@ def main(argv=None):
     else:
         overrides.setdefault("train.work_dir", f"work_dirs/{args.preset}")
     if args.load_from:
+        # fail fast: model init takes minutes at full resolution; a typo'd
+        # path should not cost that
+        if not os.path.exists(args.load_from):
+            ap.error(f"--load-from path does not exist: {args.load_from}")
         overrides["train.load_from"] = args.load_from
     if args.resume_from:
+        if not os.path.exists(args.resume_from):
+            ap.error(f"--resume-from path does not exist: "
+                     f"{args.resume_from}")
         overrides["train.resume_from"] = args.resume_from
     if args.seed is not None:
         overrides["train.seed"] = args.seed
@@ -87,9 +95,11 @@ def _try_radar_fn(cfg):
 
         return radar_fn
     except Exception as e:          # devkit or raw data unavailable
-        print(f"[train] radar pipeline unavailable ({e}); "
-              "running without radar tokens")
-        return None
+        from transcar_tpu.data.radar import empty_radar_tokens
+        print(f"[train] radar pipeline unavailable ({e}); feeding the "
+              "all-sentinel radar buffer (queries see no radar tokens)")
+        return lambda token: empty_radar_tokens(
+            cfg.model.head.num_radar_tokens)
 
 
 if __name__ == "__main__":

@@ -182,9 +182,17 @@ def random_scale_images(imgs: List[np.ndarray], lidar2img: np.ndarray,
 
 def horizontal_flip(imgs: List[np.ndarray], lidar2img: np.ndarray,
                     gt_boxes: np.ndarray):
-    """HorizontalRandomFlipMultiViewImage (:262-305): flips images, camera
-    geometry (y-axis mirror + principal-point mirror folded into lidar2img)
-    and boxes (LiDAR horizontal flip: y → −y, yaw → −yaw, vy → −vy)."""
+    """Horizontal flip of images + geometry + boxes — the *geometrically
+    corrected* variant of HorizontalRandomFlipMultiViewImage (:262-305),
+    NOT a parity port.  The reference composes a lidar-frame y-mirror into
+    lidar2cam but then only mirrors the principal point (cx → w−cx,
+    keeping +fx), so a flipped box re-projects to u = +fx·x_c/z + (w−cx) —
+    the mirror of where it actually appears in the flipped image for any
+    off-axis point.  Here the full image-x mirror [−fx, 0, w−cx] is folded
+    into lidar2img so flipped boxes land exactly on their flipped pixels.
+    Boxes flip as in LiDARInstance3DBoxes.flip('horizontal'): y → −y,
+    yaw → −yaw, vy → −vy.  (Unused by every shipped preset, as in the
+    reference configs.)"""
     w = imgs[0].shape[1]
     imgs = [img[:, ::-1, ...].copy() for img in imgs]
     flip = np.eye(4, dtype=lidar2img.dtype)

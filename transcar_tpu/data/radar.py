@@ -120,6 +120,18 @@ def build_radar_tokens(per_channel: Dict[str, Tuple[np.ndarray, np.ndarray]],
     return tokens
 
 
+def empty_radar_tokens(num_tokens: int = 1500,
+                       pad_value: float = 500.0) -> np.ndarray:
+    """All-sentinel token buffer = "no radar returns this sample".
+
+    Semantically exact degradation: every token sits at the x=500 pad
+    sentinel (detr3d_head.py:526-530), so the fusion distance masks see
+    no visible token and queries pass through un-updated (:573-581) —
+    the same behavior the reference exhibits for a sample whose radar
+    points all fall outside the range filter."""
+    return np.full((num_tokens, 36), pad_value, np.float32)
+
+
 def load_radar_tokens(nusc, sample_token: str, nsweeps: int = 5,
                       num_tokens: int = 1500,
                       use_native: bool = True) -> np.ndarray:

@@ -101,15 +101,14 @@ def detections_to_nusc_annos(
         center = l2e_r @ center + l2e_t
         vel_g = l2e_r @ vel
         q = _quat_mul(l2e_q, yaw_quat(nyaw))
+        # class-range filter on the ego-frame *gravity-center* radius —
+        # mmdet3d filters between the lidar2ego and ego2global steps
+        # (lidar_nusc_box_to_global; devkit re-filters on eval too)
+        if np.linalg.norm(center[:2]) > CLASS_RANGE.get(name, 50):
+            continue
         center = e2g_r @ center + e2g_t
         vel_g = e2g_r @ vel_g
         q = _quat_mul(e2g_q, q)
-
-        # class-range filter relative to ego (devkit filters on eval too;
-        # mmdet3d filters here on the ego-frame radius)
-        radius = np.linalg.norm((l2e_r @ np.array([x, y, z]) + l2e_t)[:2])
-        if radius > CLASS_RANGE.get(name, 50):
-            continue
 
         speed = float(np.hypot(vx, vy))
         if speed > 0.2:

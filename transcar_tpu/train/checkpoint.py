@@ -55,7 +55,18 @@ def save_params_only(path: str, params) -> None:
 
 
 def load_params_only(path: str, params_template=None):
-    """Warm-start ``load_from`` analog."""
+    """Warm-start ``load_from`` analog.
+
+    Accepts either a published params-only dir (save_params_only) or a
+    training checkpoint step dir from save_checkpoint (``.../checkpoints/N``
+    — the reference's tools/test.py takes a training checkpoint directly,
+    so the eval CLI must too); for the latter the params subtree of the
+    saved TrainState is extracted."""
     ocp = _ocp()
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), params_template)
+    state_dir = os.path.join(path, "state")
+    if os.path.isdir(state_dir):    # CheckpointManager composite step dir
+        raw = ckptr.restore(state_dir)
+        return raw["params"]
+    return ckptr.restore(path, params_template)

@@ -38,11 +38,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def _conv(w):
-    return np.transpose(w, (2, 3, 1, 0))
+    # None propagates (missing key → _Tree.put skips + reports)
+    return None if w is None else np.transpose(w, (2, 3, 1, 0))
 
 
 def _lin(w):
-    return np.transpose(w, (1, 0))
+    return None if w is None else np.transpose(w, (1, 0))
 
 
 class _Tree:
@@ -129,8 +130,11 @@ def convert_detr3d_checkpoint(sd: Dict[str, np.ndarray],
     """Convert a reference state_dict → (flax params dict, report dict)."""
     t = _Tree(sd)
 
-    if backbone == "resnet101":
-        _convert_resnet(t, resnet_blocks, with_dcn)
+    if backbone.startswith("resnet"):
+        from transcar_tpu.models.resnet import RESNET_DEPTHS
+        depth = int(backbone[len("resnet"):])
+        _convert_resnet(t, RESNET_DEPTHS.get(depth, resnet_blocks),
+                        with_dcn)
     elif backbone == "vovnet99":
         _convert_vovnet(t)
 

@@ -172,6 +172,27 @@ def evaluate(cfg: TransCARConfig, params,
     return write_submission(results, out_path)
 
 
+def _merge_over_template(template, loaded, _prefix="", _filled=None):
+    """Overlay a (possibly partial) converted param dict onto a freshly
+    initialized template: any leaf/subtree absent from ``loaded`` — e.g.
+    fusion/radar/final_* heads when warm-starting TransCAR from a
+    camera-only DETR3D checkpoint (README.md:13, tools/train.py:238-252) —
+    keeps its template init.  Returns (params, list-of-kept paths)."""
+    if _filled is None:
+        _filled = []
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            sub = loaded.get(k) if isinstance(loaded, dict) else None
+            out[k] = _merge_over_template(v, sub, f"{_prefix}{k}/", _filled)
+        return (out, _filled) if _prefix == "" else out
+    if loaded is None or (hasattr(loaded, "shape")
+                          and tuple(loaded.shape) != tuple(template.shape)):
+        _filled.append(_prefix.rstrip("/"))
+        return template
+    return np.asarray(loaded).astype(template.dtype)
+
+
 def _load_params(path: str, cfg: TransCARConfig, params_template):
     """Warm start from an orbax dir or a torch .pth checkpoint."""
     if path.endswith((".pth", ".pt")):
@@ -187,7 +208,9 @@ def _load_params(path: str, cfg: TransCARConfig, params_template):
         if report["missing"]:
             print(f"[load_from] {len(report['missing'])} missing keys, e.g. "
                   f"{report['missing'][:3]}")
-        return jax.tree_util.tree_map(
-            lambda t, p: p.astype(t.dtype) if hasattr(t, "dtype") else p,
-            params_template, params)
+        merged, kept = _merge_over_template(params_template, params)
+        if kept:
+            print(f"[load_from] {len(kept)} params kept at fresh init "
+                  f"(absent from checkpoint), e.g. {kept[:3]}")
+        return merged
     return ckpt.load_params_only(path, params_template)

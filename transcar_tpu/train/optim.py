@@ -43,8 +43,16 @@ def lr_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
     return sched
 
 
-def make_labels(params, freeze_camera: bool, backbone_lr_mult: float):
-    """Build the multi_transform label pytree."""
+def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
+                frozen_stages: int = 1):
+    """Build the multi_transform label pytree.
+
+    ``frozen_stages`` mirrors mmdet ResNet/VoVNet stage freezing
+    (config detr3d_res101_gridmask.py:34 ``frozen_stages=1``): the stem
+    and stages 1..frozen_stages get ``requires_grad=False`` in the
+    reference, so in full-training (DETR3D) mode their conv kernels are
+    labeled "frozen" here rather than trained at backbone lr·0.1.
+    """
 
     def label(path, _):
         keys = [getattr(p, "key", str(p)) for p in path]
@@ -65,6 +73,15 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float):
                 k == "bn" or k.startswith("bn") for k in keys[1:]):
             return "frozen"
         if top == "backbone":
+            # stem + layer1..layer{frozen_stages} (mmdet ResNet) /
+            # stage2..stage{frozen_stages+1} (vovnet.py:353-364) are
+            # requires_grad=False in the reference
+            sub = keys[1] if len(keys) > 1 else ""
+            if sub.startswith("stem") and frozen_stages >= 0:
+                return "frozen"
+            for s in range(1, frozen_stages + 1):
+                if sub.startswith((f"layer{s}_", f"stage{s + 1}_")):
+                    return "frozen"
             return "backbone"
         return "main"
 
@@ -72,12 +89,14 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float):
 
 
 def build_optimizer(cfg: OptimConfig, params: Any, total_steps: int,
-                    freeze_camera: bool | None = None
+                    freeze_camera: bool | None = None,
+                    frozen_stages: int = 1
                     ) -> optax.GradientTransformation:
     if freeze_camera is None:
         freeze_camera = cfg.freeze_camera_branch
     sched = lr_schedule(cfg, total_steps)
-    labels = make_labels(params, freeze_camera, cfg.backbone_lr_mult)
+    labels = make_labels(params, freeze_camera, cfg.backbone_lr_mult,
+                         frozen_stages=frozen_stages)
 
     def adamw(lr_mult):
         return optax.adamw(

@@ -36,7 +36,8 @@ def init_state(cfg: TransCARConfig, model: TransCARDetector, sample_batch,
     params = variables["params"]
     tx = build_optimizer(cfg.train.optim, params, total_steps,
                          freeze_camera=cfg.train.optim.freeze_camera_branch
-                         and cfg.model.head.with_radar_fusion)
+                         and cfg.model.head.with_radar_fusion,
+                         frozen_stages=cfg.model.backbone.frozen_stages)
     opt_state = tx.init(params)
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
 
