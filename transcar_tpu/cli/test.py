@@ -29,8 +29,12 @@ def main(argv=None):
     import jax
     from transcar_tpu.core.config import get_preset
     from transcar_tpu.models.detector import build_model
+    from transcar_tpu.parallel.distributed import (
+        maybe_initialize_distributed)
     from transcar_tpu.train.loop import _load_params, evaluate
 
+    # must run before anything touches a jax backend (orbax restore below)
+    maybe_initialize_distributed()
     cfg = get_preset(args.preset, parse_overrides(args.cfg_options))
 
     # materialize a params template, then load the checkpoint over it

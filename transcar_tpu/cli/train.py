@@ -36,6 +36,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from transcar_tpu.core.config import get_preset
+    from transcar_tpu.parallel.distributed import (
+        maybe_initialize_distributed)
+
+    # multi-host: connect the process group before any jax backend use
+    # (tools/train.py:153-160 init_dist analog; no-op single host)
+    maybe_initialize_distributed()
     overrides = parse_overrides(args.cfg_options)
     if args.work_dir:
         overrides["train.work_dir"] = args.work_dir

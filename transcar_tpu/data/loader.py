@@ -89,7 +89,13 @@ class PrefetchLoader:
                  indices: Optional[np.ndarray] = None,
                  radar_fn: Optional[Callable[[str], np.ndarray]] = None,
                  seed: int = 0, workers: Optional[int] = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, process_index: int = 0,
+                 process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch.  In a multi-host run every
+        process constructs the same global shuffle (seeded identically)
+        and loads only its contiguous row slice of each global batch —
+        the per-rank sampler split the reference gets from
+        DistributedSampler (SURVEY.md §2.5 DP row)."""
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -100,16 +106,23 @@ class PrefetchLoader:
         self.seed = seed
         self.workers = workers if workers is not None else cfg.workers
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        from transcar_tpu.parallel.distributed import local_batch_slice
+
         order = self.indices.copy()
         if self.training:
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
         nb = len(order) // self.batch_size
         batches = order[: nb * self.batch_size].reshape(nb, self.batch_size)
+        if self.process_count > 1:
+            batches = batches[:, local_batch_slice(
+                self.process_index, self.process_count, self.batch_size)]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INF = jnp.float32(np.finfo(np.float32).max) / 4
+# plain float: a module-scope jnp scalar would initialize the
+# XLA backend at import time and break jax.distributed.initialize
+_INF = float(np.finfo(np.float32).max) / 4
 
 
 @partial(jax.jit, static_argnames=())

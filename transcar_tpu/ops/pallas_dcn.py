@@ -1,27 +1,36 @@
-"""Fused DCNv2 as a Pallas TPU kernel (N2) — the shift-select formulation.
+"""Fused DCNv2 sampling as a Pallas TPU kernel — banded one-hot matmul.
 
-The XLA path (ops/dcn.py) materializes a [P, 2, 2, C] gathered tensor in
-HBM (~320 MB per stage-3 block) because Mosaic currently lacks dynamic
-VMEM gather (probed; see docs/PERF_NOTES.md).  This kernel avoids gathers
-entirely: with per-tap offsets clamped to a static window ``|Δ| ≤ c_max``,
-every bilinear source pixel lies within a static shift range of the output
-pixel, so sampling becomes a sum over *static* shifts of the VMEM-resident
-input tile weighted by per-pixel select fields:
+Replaces the round-1 shift-select kernel (slower than XLA; culled per its
+own perf notes).  The insight: XLA's gather unit plateaus at ~7-8 ms for
+the stage-3 deformable gather (docs/PERF_NOTES.md) while the MXU sits
+idle — so reformulate the gather *as* a matmul.  For one output row r of
+one image, every bilinear source pixel of every tap lies in a narrow row
+band around r (offsets are small in trained DCNs); collecting the band
+B×W×C in VMEM, the whole sample-and-modulate step for the row becomes
 
-    sampled_k(p) = Σ_{a,b} w_{k,a,b}(p) · x[p + t_k + (a, b)]
-    w_{k,a,b}(p) = [⌊Δy⌋=a](1-fy) + [⌊Δy⌋=a-1]fy) × (same for x) × m_k(p)
+    sampled[p, c] = Σ_b Σ_j  A_b[p, j] · xband[b, j, c]
+    A_b[p, j]     = wy_b[p] · wx[p, j] · σ(mask[p])          p = q·9 + k
 
-Per-cell FMA passes are predicated with ``pl.when`` on "any pixel uses this
-cell", so the common small-offset case skips most of the window.  The
-9·C-per-pixel sampled block then feeds the im2col matmul on the MXU without
-ever leaving VMEM.
+with wy/wx the one-hot bilinear row/column weights.  A_b is built on the
+VPU in VMEM and immediately consumed by a [9W, W]×[W, C] MXU matmul per
+band row — nothing but the [9W, C] sampled block ever goes back to HBM.
+The 9C→C im2col contraction then runs as one big XLA matmul outside.
 
-Semantics: identical to ops/dcn.modulated_deform_conv (and mmcv DCNv2)
-whenever every offset satisfies ``|Δ| ≤ c_max``; larger offsets are clamped
-(the exact path remains the default — BackboneConfig.dcn_fast_window).
-Zero padding at image borders is preserved by zero-padding the input tile.
-Forward-only (the TransCAR flagship freezes the backbone; training the
-camera net uses the XLA path).
+Semantics (vs ops/dcn.modulated_deform_conv, i.e. mmcv DCNv2 with
+stride 1 / pad 1 / dilation 1 — the ResNet stage-3/4 case,
+detr3d_res101_gridmask.py:41-42):
+  * exact — including zero-padding at image borders, which the band
+    one-hot reproduces for free — whenever every vertical offset
+    satisfies |Δy| ≤ band_radius.  Horizontal offsets are NEVER
+    approximated (the one-hot spans the full row width).
+  * taps whose vertical sample falls outside the row band contribute
+    zero, exactly as if they sampled outside the image.
+  * when the band covers the whole image (H ≤ 2·band_radius+5) the
+    kernel is exact for all offsets.
+
+Forward-only by design: the flagship freezes the backbone (TransCAR
+trains only fusion layers, tools/train.py:238-252); full-backbone
+training uses the exact XLA path for autodiff.
 """
 from __future__ import annotations
 
@@ -33,110 +42,134 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, om_ref, w_ref, o_ref, sampled_ref, *, th, w_out, cin,
-            cout, c_max, pad):
-    """x_ref: [1, Hp, Wp, Cin] zero-padded full image (VMEM);
-    om_ref: [1, TH, W, 32] offset+mask tile (27 used, padded to 32);
-    w_ref: [9·Cin, Cout]; o_ref: [1, TH, W, Cout];
-    sampled_ref: [TH·W, 9·Cin] fp32 accumulator scratch.
+def _kernel(x_ref, dy_ref, dx_ref, mk_ref, o_ref, a_ref, *, h, w, cin,
+            band):
+    """One (image, output row) grid step.
 
-    Structure notes (three iterations measured, see docs/PERF_NOTES.md):
-    per-tap register-carried accumulation with the source-row loop rolled
-    (dynamic H starts are fine) and the W shift unrolled (Mosaic requires
-    static sublane starts).  A fully unrolled variant (576 cond regions)
-    wedges the Mosaic compiler; a shared-load absolute-shift variant with
-    scratch RMW accumulation is 2.5× slower (VMEM read-modify-write
-    dominates); per-row lax.cond predication was a wash and is omitted."""
-    i = pl.program_id(1)
-    om = om_ref[0].astype(jnp.float32)
-    row0 = i * th                      # top output row of this tile
-    span = 2 * c_max + 2               # shift cells per axis
+    x_ref:  [1, H, W, Cin]  full image (block revisited across rows)
+    dy/dx/mk_ref: [1, 1, W, 16] per-tap offset rows (9 used, lane-padded)
+    o_ref:  [1, 1, 9·W, Cin] sampled·mask output, p = q·9 + k
+    a_ref:  [9·W, band·W] scratch — the assembled band weight matrix
 
-    for k in range(9):                 # static taps (static channel slices)
-        ty = k // 3 - 1
-        tx = k % 3 - 1
-        dy = jnp.clip(om[..., 2 * k], -c_max, c_max)        # [TH, W]
-        dx = jnp.clip(om[..., 2 * k + 1], -c_max, c_max)
-        mk = jax.nn.sigmoid(om[..., 18 + k])
-        a0 = jnp.floor(dy)
-        b0 = jnp.floor(dx)
-        fy = dy - a0
-        fx = dx - b0
-        a0 = a0.astype(jnp.int32)
-        b0 = b0.astype(jnp.int32)
+    One MXU dot per grid step: v1 of this kernel issued `band` small
+    [9W, W] dots per row and drowned in per-dot launch overhead
+    (~2 µs × 21 × 348 ≈ the entire 15 ms it measured, docs/PERF_NOTES.md);
+    assembling A in VMEM first and contracting [9W, band·W] × [band·W, C]
+    in one shot removes 20/21 of that overhead and of the accumulator
+    read-modify-write traffic.
+    """
+    r = pl.program_id(1)
+    s = jnp.clip(r - (band - 1) // 2, 0, h - band)   # band start row
 
-        def row_body(ai, acc, ty=ty, tx=tx, a0=a0, b0=b0, fy=fy, fx=fx,
-                     mk=mk):
-            a = ai - c_max
-            wy = jnp.where(a0 == a, 1.0 - fy,
-                           jnp.where(a0 == a - 1, fy, 0.0))
-            for b in range(-c_max, c_max + 2):
-                wx = jnp.where(b0 == b, 1.0 - fx,
-                               jnp.where(b0 == b - 1, fx, 0.0))
-                wab = wy * wx * mk                          # [TH, W]
-                src = x_ref[0,
-                            pl.ds(row0 + pad + ty + a, th),
-                            pad + tx + b:pad + tx + b + w_out, :]
-                acc = acc + wab[..., None] * src.astype(jnp.float32)
-            return acc
+    dy = dy_ref[0, 0, :, :9].astype(jnp.float32)     # [W, 9]
+    dx = dx_ref[0, 0, :, :9].astype(jnp.float32)
+    mk = jax.nn.sigmoid(mk_ref[0, 0, :, :9].astype(jnp.float32))
 
-        acc = jax.lax.fori_loop(
-            0, span, row_body, jnp.zeros((th, w_out, cin), jnp.float32))
-        sampled_ref[:, k * cin:(k + 1) * cin] = acc.reshape(
-            th * w_out, cin)
+    ky = (jax.lax.broadcasted_iota(jnp.int32, (w, 9), 1) // 3 - 1)
+    kx = (jax.lax.broadcasted_iota(jnp.int32, (w, 9), 1) % 3 - 1)
+    qq = jax.lax.broadcasted_iota(jnp.int32, (w, 9), 0)
 
-    out = jax.lax.dot_general(
-        sampled_ref[:].astype(x_ref.dtype), w_ref[:],
+    py = r.astype(jnp.float32) + ky.astype(jnp.float32) + dy
+    px = qq.astype(jnp.float32) + kx.astype(jnp.float32) + dx
+    y0f = jnp.floor(py)
+    x0f = jnp.floor(px)
+    fy = py - y0f                                    # [W, 9]
+    fx = px - x0f
+    y0r = y0f.astype(jnp.int32) - s                  # band-relative
+    x0 = x0f.astype(jnp.int32)
+
+    # column one-hot bilinear weights with modulation folded in:
+    # wx[q, k, j] — exact zero-padding in x falls out of the one-hot
+    jj = jax.lax.broadcasted_iota(jnp.int32, (w, 9, w), 2)
+    wx = (jnp.where(jj == x0[:, :, None], 1.0 - fx[:, :, None], 0.0)
+          + jnp.where(jj == x0[:, :, None] + 1, fx[:, :, None], 0.0))
+    wx = wx * mk[:, :, None]                         # [W, 9, W]
+
+    # static unroll (band ≤ ~31): Mosaic requires lane-store offsets to be
+    # static (a fori_loop store at pl.ds(b·w) fails to prove alignment)
+    for b in range(band):
+        wy = (jnp.where(y0r == b, 1.0 - fy, 0.0)
+              + jnp.where(y0r == b - 1, fy, 0.0))    # [W, 9]
+        a_ref[:, b * w:(b + 1) * w] = (
+            wx * wy[:, :, None]).reshape(w * 9, w).astype(a_ref.dtype)
+    xband = x_ref[0, pl.ds(s, band)].reshape(band * w, cin)
+    o_ref[0, 0] = jax.lax.dot_general(
+        a_ref[:], xband,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(th, w_out, cout).astype(o_ref.dtype)
-
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("c_max", "tile_rows", "interpret"))
-def modulated_deform_conv_fast(x: jnp.ndarray, offset_mask: jnp.ndarray,
-                               weight: jnp.ndarray,
-                               c_max: int = 3, tile_rows: int = 8,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Batched fused DCNv2, stride 1 / pad 1 / dilation 1 (the ResNet case).
+                   static_argnames=("band_radius", "interpret"))
+def banded_deform_sample(x: jnp.ndarray, offset_mask: jnp.ndarray,
+                         band_radius: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Deformable bilinear sampling × sigmoid(mask) for all 9 taps.
 
     Args:
-      x: [N, H, W, Cin]; offset_mask: [N, H, W, 27] raw conv_offset output;
-      weight: [3, 3, Cin, Cout].
+      x: [N, H, W, Cin]; offset_mask: [N, H, W, 27] raw conv_offset output
+        (mmcv layout: ch 2k = Δy_k, 2k+1 = Δx_k, 18+k = mask_k).
     Returns:
-      [N, H, W, Cout] (float32 accumulate, cast back to x.dtype).
+      [N, H, W, 9·Cin] sampled taps (tap-major per pixel), x.dtype.
+    """
+    n, h, w, cin = x.shape
+    band = min(2 * band_radius + 5, h)
+
+    om = offset_mask.astype(jnp.float32)
+    dy = om[..., 0:18:2]                             # [N, H, W, 9]
+    dx = om[..., 1:18:2]
+    mk = om[..., 18:27]
+    pad9 = ((0, 0), (0, 0), (0, 0), (0, 7))          # lane-pad 9 → 16
+    dy, dx, mk = (jnp.pad(a, pad9) for a in (dy, dx, mk))
+
+    sampled = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, cin=cin, band=band),
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), lambda ni, r: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, 16), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, 16), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, 16), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 9 * w, cin),
+                               lambda ni, r: (ni, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, 9 * w, cin), x.dtype),
+        scratch_shapes=[pltpu.VMEM((9 * w, band * w), x.dtype)],
+        interpret=interpret,
+    )(x, dy, dx, mk)
+    # p = q·9 + k → [N, H, W, 9, Cin] → im2col layout [N, H, W, 9·Cin]
+    return sampled.reshape(n, h, w, 9 * cin)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band_radius", "interpret"))
+def modulated_deform_conv_fast(x: jnp.ndarray, offset_mask: jnp.ndarray,
+                               weight: jnp.ndarray,
+                               bias: jnp.ndarray | None = None,
+                               band_radius: int = 8,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Batched fused DCNv2, stride 1 / pad 1 / dilation 1 (the ResNet
+    case).  Sampling via the banded Pallas kernel; the 9·Cin → Cout
+    contraction is one XLA MXU matmul.
+
+    x: [N, H, W, Cin]; offset_mask: [N, H, W, 27]; weight [3, 3, Cin, Cout].
     """
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    pad = c_max + 2                       # tap(±1) + shift(±c_max) + bilin +1
-    th = tile_rows
-    n_tiles = pl.cdiv(h, th)
-    h_pad = n_tiles * th
-
-    xp = jnp.pad(x, ((0, 0), (pad, pad + (h_pad - h)), (pad, pad),
-                     (0, 0)))
-    om = jnp.pad(offset_mask, ((0, 0), (0, h_pad - h), (0, 0), (0, 5)))
-    w2 = weight.reshape(9 * cin, cout).astype(x.dtype)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, th=th, w_out=w, cin=cin, cout=cout,
-                          c_max=c_max, pad=pad),
-        grid=(n, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, h_pad + 2 * pad, w + 2 * pad, cin),
-                         lambda ni, ti: (ni, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, 32), lambda ni, ti: (ni, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * cin, cout), lambda ni, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, w, cout),
-                               lambda ni, ti: (ni, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h_pad, w, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((th * w, 9 * cin), jnp.float32)],
-        interpret=interpret,
-    )(xp, om, w2)
-    return out[:, :h]
+    sampled = banded_deform_sample(x, offset_mask,
+                                   band_radius=band_radius,
+                                   interpret=interpret)
+    out = jax.lax.dot_general(
+        sampled.reshape(n * h * w, 9 * cin),
+        weight.reshape(9 * cin, cout).astype(sampled.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(n, h, w, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MISS = jnp.int32(2 ** 30)
+MISS = 2 ** 30   # plain int: keep module import backend-free
 
 
 def _linearize(coords: jnp.ndarray, grid: Tuple[int, int, int],

@@ -45,7 +45,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device_put every leaf of a batch pytree with the leading dim sharded
-    along `axis` (host → sharded global arrays)."""
-    sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    """Host batch → sharded global arrays along `axis`.
+
+    Single-process: a device_put of the full global batch.  Multi-process
+    (jax.distributed initialized): ``batch`` holds only this process's
+    rows and the global array is assembled via
+    ``jax.make_array_from_process_local_data`` (parallel/distributed.py)."""
+    from transcar_tpu.parallel.distributed import make_global_batch
+
+    return make_global_batch(batch, mesh, axis=axis)

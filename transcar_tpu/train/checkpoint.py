@@ -34,16 +34,38 @@ def save_checkpoint(work_dir: str, step: int, state, config_dict=None,
 
 def restore_checkpoint(work_dir: str, state_template,
                        step: Optional[int] = None):
-    """Full-state resume (--resume-from analog)."""
+    """Full-state resume (--resume-from analog).
+
+    Restores to HOST numpy (via a numpy-leaf template): the jitted step's
+    in_shardings re-place the state, so a checkpoint saved on one device
+    topology resumes on any other — including a multi-host world where
+    device-sharded orbax restore would need the original device set."""
+    import jax
+    import numpy as np
+
     ocp = _ocp()
     path = os.path.abspath(os.path.join(work_dir, "checkpoints"))
     with ocp.CheckpointManager(path) as mgr:
         step = step if step is not None else mgr.latest_step()
+        tmpl = jax.tree_util.tree_map(np.asarray, state_template)
         restored = mgr.restore(
             step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template)))
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(tmpl)))
     return restored["state"], step
+
+
+def _restore_numpy_tree(path: str):
+    """Restore an orbax pytree dir to host numpy without a template (and
+    without constructing device arrays — multi-host/topology safe)."""
+    import jax
+    import numpy as np
+
+    ocp = _ocp()
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    ra = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return ckptr.restore(path, restore_args=ra)
 
 
 def save_params_only(path: str, params) -> None:
@@ -62,11 +84,8 @@ def load_params_only(path: str, params_template=None):
     — the reference's tools/test.py takes a training checkpoint directly,
     so the eval CLI must too); for the latter the params subtree of the
     saved TrainState is extracted."""
-    ocp = _ocp()
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
     state_dir = os.path.join(path, "state")
     if os.path.isdir(state_dir):    # CheckpointManager composite step dir
-        raw = ckptr.restore(state_dir)
-        return raw["params"]
-    return ckptr.restore(path, params_template)
+        return _restore_numpy_tree(state_dir)["params"]
+    return _restore_numpy_tree(path)

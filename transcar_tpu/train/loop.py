@@ -20,6 +20,8 @@ from transcar_tpu.data.loader import PrefetchLoader
 from transcar_tpu.eval.submission import (detections_to_nusc_annos,
                                           write_submission)
 from transcar_tpu.models.detector import build_model
+from transcar_tpu.parallel.distributed import (allgather_eval_outputs,
+                                               maybe_initialize_distributed)
 from transcar_tpu.parallel.mesh import make_mesh, shard_batch
 from transcar_tpu.train import checkpoint as ckpt
 from transcar_tpu.train.optim import lr_schedule
@@ -29,14 +31,21 @@ from transcar_tpu.train.step import (TrainState, init_state, make_eval_step,
 
 class JsonLogger:
     """mmcv-style json-line logger (work_dirs/<name>/<ts>.log.json) — the
-    format tools/analysis_tools/analyze_logs.py parses."""
+    format tools/analysis_tools/analyze_logs.py parses.  ``enabled=False``
+    (non-zero ranks in a multi-host run) makes it a no-op."""
 
-    def __init__(self, work_dir: str):
+    def __init__(self, work_dir: str, enabled: bool = True):
+        self.enabled = enabled
+        if not enabled:
+            self.path = None
+            return
         os.makedirs(work_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
         self.path = os.path.join(work_dir, f"{stamp}.log.json")
 
     def log(self, record: Dict):
+        if not self.enabled:
+            return
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
         mode = record.get("mode", "")
@@ -49,27 +58,36 @@ def train(cfg: TransCARConfig,
           radar_fn: Optional[Callable[[str], np.ndarray]] = None,
           max_steps: Optional[int] = None,
           log_interval: int = 50) -> TrainState:
-    """Full training run driven by a config (tools/train.py analog)."""
+    """Full training run driven by a config (tools/train.py analog).
+
+    Multi-host: when jax.distributed env is set (tools/dist_train.sh),
+    every host runs this function; the mesh spans the global device set,
+    the loader feeds each host its slice of the global batch, and rank 0
+    owns logging/manifest writes (init_dist + DDP analog,
+    tools/train.py:153-160)."""
+    pi, pc = maybe_initialize_distributed()
     work_dir = cfg.train.work_dir
     os.makedirs(work_dir, exist_ok=True)
-    logger = JsonLogger(work_dir)
+    logger = JsonLogger(work_dir, enabled=pi == 0)
     # dump-on-run manifest (train.py:165 analog)
-    with open(os.path.join(work_dir, "config.json"), "w") as f:
-        json.dump(config_to_dict(cfg), f, indent=2)
+    if pi == 0:
+        with open(os.path.join(work_dir, "config.json"), "w") as f:
+            json.dump(config_to_dict(cfg), f, indent=2)
 
     dataset = NuScenesInfos(
         os.path.join(cfg.data.data_root, cfg.data.ann_train),
         class_names=cfg.data.class_names, data_root=cfg.data.data_root)
     indices = cbgs_indices(dataset) if cfg.data.use_cbgs else None
 
-    devices = jax.devices()
+    devices = jax.devices()      # global device set under jax.distributed
     mesh_n = min(int(np.prod(cfg.train.mesh_shape)), len(devices))
     mesh = make_mesh((mesh_n,), ("data",), devices[:mesh_n])
     batch_size = cfg.data.samples_per_device * mesh_n
 
     loader = PrefetchLoader(dataset, cfg.data, batch_size, training=True,
                             indices=indices, radar_fn=radar_fn,
-                            seed=cfg.train.seed)
+                            seed=cfg.train.seed,
+                            process_index=pi, process_count=pc)
     steps_per_epoch = max(len(loader), 1)
     total_steps = steps_per_epoch * cfg.train.optim.total_epochs
     if max_steps is not None:
@@ -107,6 +125,16 @@ def train(cfg: TransCARConfig,
         except ValueError:
             pass    # not on the main thread
 
+    def save(state):
+        # multi-host: every process participates (orbax coordinates its
+        # own barriers and primary-host writes); the replicated state is
+        # pulled to host numpy first so no cross-host array resharding is
+        # needed at write time
+        host = state if pc == 1 else jax.tree_util.tree_map(
+            np.asarray, state)
+        ckpt.save_checkpoint(work_dir, int(state.step), host,
+                             config_dict=config_to_dict(cfg))
+
     done = False
     for epoch in range(start_epoch, cfg.train.optim.total_epochs):
         t_iter = time.time()
@@ -123,8 +151,7 @@ def train(cfg: TransCARConfig,
                 logger.log(rec)
                 t_iter = time.time()
             if preempted["flag"]:
-                ckpt.save_checkpoint(work_dir, int(state.step), state,
-                                     config_dict=config_to_dict(cfg))
+                save(state)
                 logger.log({"mode": "train", "epoch": epoch + 1,
                             "preempted": True, "step": int(state.step)})
                 return state
@@ -132,8 +159,7 @@ def train(cfg: TransCARConfig,
                 done = True
                 break
         if (epoch + 1) % cfg.train.checkpoint_interval_epochs == 0 or done:
-            ckpt.save_checkpoint(work_dir, int(state.step), state,
-                                 config_dict=config_to_dict(cfg))
+            save(state)
         if done:
             break
     return state
@@ -145,31 +171,58 @@ def evaluate(cfg: TransCARConfig, params,
              out_path: Optional[str] = None) -> str:
     """Inference over the val set → nuScenes submission json
     (tools/test.py --format-only analog).  Devkit metrics via
-    eval.submission.evaluate_nuscenes when raw data is present."""
+    eval.submission.evaluate_nuscenes when raw data is present.
+
+    Multi-host: samples strided across processes, decoded fixed-shape
+    outputs allgathered, rank 0 formats and writes (multi_gpu_test +
+    collect analog, tools/test.py:218-223)."""
+    pi, pc = maybe_initialize_distributed()
     dataset = NuScenesInfos(
         os.path.join(cfg.data.data_root, cfg.data.ann_val),
         class_names=cfg.data.class_names, test_mode=True,
         data_root=cfg.data.data_root)
     model = build_model(cfg)
     eval_step = make_eval_step(cfg, model)
-    loader = PrefetchLoader(dataset, cfg.data, batch_size=1, training=False,
-                            radar_fn=radar_fn)
-    results: Dict[str, list] = {}
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
+    my_indices = np.arange(n)[pi::pc]
+    loader = PrefetchLoader(dataset, cfg.data, batch_size=1, training=False,
+                            indices=my_indices, radar_fn=radar_fn)
+    local = {"boxes": [], "scores": [], "labels": [], "valid": [],
+             "sample_idx": []}
     for idx, batch in enumerate(loader.epoch(0)):
-        if idx >= n:
+        if idx >= len(my_indices):
             break
         out = eval_step(params, batch)
-        info = dataset.infos[int(loader.indices[idx])]
-        annos = detections_to_nusc_annos(
-            np.asarray(out["boxes"][0]), np.asarray(out["scores"][0]),
-            np.asarray(out["labels"][0]), np.asarray(out["valid"][0]),
-            info, cfg.data.class_names)
-        results[info["token"]] = annos
+        local["boxes"].append(np.asarray(out["boxes"][0]))
+        local["scores"].append(np.asarray(out["scores"][0]))
+        local["labels"].append(np.asarray(out["labels"][0]))
+        local["valid"].append(np.asarray(out["valid"][0]))
+        local["sample_idx"].append(np.int32(my_indices[idx]))
+    n_local = len(local["sample_idx"])
+    stacked = {k: np.stack(v) if n_local else np.zeros(
+        (0,) + _eval_leaf_shape(k, cfg), np.float32)
+        for k, v in local.items()}
+    gathered, _ = allgather_eval_outputs(stacked, n_local)
+
     out_path = out_path or os.path.join(cfg.train.work_dir,
                                         "results_nusc.json")
-    return write_submission(results, out_path)
+    if pi == 0:
+        results: Dict[str, list] = {}
+        for row in range(len(gathered["sample_idx"])):
+            info = dataset.infos[int(gathered["sample_idx"][row])]
+            results[info["token"]] = detections_to_nusc_annos(
+                gathered["boxes"][row], gathered["scores"][row],
+                gathered["labels"][row], gathered["valid"][row],
+                info, cfg.data.class_names)
+        write_submission(results, out_path)
+    return out_path
+
+
+def _eval_leaf_shape(key: str, cfg: TransCARConfig):
+    k = cfg.model.head.max_detections
+    return {"boxes": (k, 9), "scores": (k,), "labels": (k,),
+            "valid": (k,), "sample_idx": ()}[key]
 
 
 def _merge_over_template(template, loaded, _prefix="", _filled=None):
