@@ -87,6 +87,102 @@ def _cfg(root, work):
     )
 
 
+def _make_lidar_dataset(root, n_samples=4, n_pts=400):
+    """Synthetic infos pkl + raw .bin point files + 2-sweep chains
+    (nuscenes_converter schema: lidar_path, sweeps with sensor2lidar R/T +
+    timestamp)."""
+    os.makedirs(os.path.join(root, "samples"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(n_samples):
+        key = rng.uniform(-45, 45, (n_pts, 5)).astype(np.float32)
+        key[:, 2] = rng.uniform(-4, 2, n_pts)
+        kp = os.path.join(root, "samples", f"lidar{i}.bin")
+        key.tofile(kp)
+        sweeps = []
+        for s in range(2):
+            sw = rng.uniform(-45, 45, (n_pts // 2, 5)).astype(np.float32)
+            sw[:, 2] = rng.uniform(-4, 2, n_pts // 2)
+            sp = os.path.join(root, "samples", f"lidar{i}_sw{s}.bin")
+            sw.tofile(sp)
+            a = 0.02 * (s + 1)
+            sweeps.append({
+                "data_path": sp,
+                "sensor2lidar_rotation": np.array(
+                    [[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0], [0, 0, 1]]),
+                "sensor2lidar_translation": rng.uniform(-1, 1, 3),
+                "timestamp": (1000 + i) * 1e6 - (s + 1) * 5e4,
+            })
+        g = 3
+        boxes = np.zeros((g, 7))
+        boxes[:, :2] = rng.uniform(-30, 30, (g, 2))
+        boxes[:, 2] = rng.uniform(-1, 1, g)
+        boxes[:, 3:6] = rng.uniform(1, 4, (g, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, g)
+        infos.append({
+            "token": f"tok{i}",
+            "timestamp": (1000 + i) * 1e6,
+            "lidar_path": kp,
+            "sweeps": sweeps,
+            "cams": {},
+            "lidar2ego_rotation": [1, 0, 0, 0],
+            "lidar2ego_translation": [0, 0, 0],
+            "ego2global_rotation": [1, 0, 0, 0],
+            "ego2global_translation": [0, 0, 0],
+            "gt_boxes": boxes,
+            "gt_names": ["car", "bus", "pedestrian"],
+            "gt_velocity": rng.uniform(-2, 2, (g, 2)),
+            "num_lidar_pts": np.array([5, 5, 5]),
+            "num_radar_pts": np.array([1, 1, 1]),
+            "valid_flag": np.array([True, True, True]),
+        })
+    for name in ("nuscenes_infos_train.pkl", "nuscenes_infos_val.pkl"):
+        with open(os.path.join(root, name), "wb") as f:
+            pickle.dump({"infos": infos, "metadata": {"version": "test"}}, f)
+
+
+@pytest.mark.slow
+def test_objdgcnn_pillar_train_e2e(tmp_path):
+    """ObjDGCNN pillar track: synthetic infos pkl → real point pipeline
+    (multisweep load, GlobalRotScaleTrans, RandomFlip3D, range filter,
+    shuffle, static padding) → voxelize → sharded train step (VERDICT
+    round-2 item 4; pillar.py:174-216)."""
+    root = str(tmp_path / "data")
+    work = str(tmp_path / "work")
+    os.makedirs(root)
+    _make_lidar_dataset(root)
+
+    from transcar_tpu.core.config import get_preset
+    from transcar_tpu.train.loop import train
+
+    cfg = get_preset("objdgcnn_pillar", {
+        "data.data_root": root,
+        "data.max_points": "2048",
+        "data.max_gt_boxes": "8",
+        "data.workers": "2",
+        "data.use_cbgs": "false",
+        "data.samples_per_device": "1",
+        "model.head.num_query": "16",
+        "model.head.num_decoder_layers": "1",
+        "model.voxel_size": "[6.4,6.4,8.0]",
+        "model.max_voxels": "256",
+        "model.bev_hw": "[16,16]",
+        "train.work_dir": work,
+        "train.mesh_shape": "[2]",
+        "train.optim.total_epochs": "1",
+        "train.optim.warmup_iters": "2",
+    })
+    state = train(cfg, max_steps=2, log_interval=1)
+    assert int(state.step) == 2
+    logs = [f for f in os.listdir(work) if f.endswith(".log.json")]
+    with open(os.path.join(work, logs[0])) as f:
+        recs = [json.loads(l) for l in f]
+    train_recs = [r for r in recs if r.get("mode") == "train"]
+    assert train_recs and all(np.isfinite(r["loss_cls"])
+                              for r in train_recs)
+
+
 @pytest.mark.slow
 def test_train_and_evaluate_end_to_end(tmp_path):
     root = str(tmp_path / "data")

@@ -108,6 +108,13 @@ class ModelConfig:
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     head: HeadConfig = field(default_factory=HeadConfig)
     use_grid_mask: bool = True       # detr3d.py:36 (prob .7, ratio .5, mode 1)
+    # --- LiDAR track (ObjDGCNN): set lidar_encoder to select the model ---
+    lidar_encoder: Optional[str] = None     # None | "pillar" | "voxel"
+    voxel_size: Tuple[float, float, float] = (0.2, 0.2, 8.0)
+    max_voxels: int = 30000                  # pillar.py:32 (train)
+    max_points_per_voxel: int = 20
+    bev_hw: Tuple[int, int] = (512, 512)
+    sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)  # voxel.py:34-43
 
 
 @dataclass(frozen=True)
@@ -136,6 +143,20 @@ class DataConfig:
     photometric_distortion: bool = True
     workers: int = 4
     samples_per_device: int = 1
+    # --- LiDAR point pipeline (ObjDGCNN track; pillar.py:174-216) ---
+    lidar_load_dim: int = 5            # nuScenes .bin: x,y,z,intensity,ring
+    lidar_sweeps: int = 9              # LoadPointsFromMultiSweeps sweeps_num
+    lidar_pad_empty_sweeps: bool = True
+    lidar_remove_close: float = 1.0    # remove_close radius (0 disables)
+    # static point budget for jit ([max_points, 5] + count); 10 frames of
+    # nuScenes lidar ≈ 300k points before range filtering
+    max_points: int = 300_000
+    rot_range: Tuple[float, float] = (-0.3925, 0.3925)
+    scale_range: Tuple[float, float] = (0.95, 1.05)
+    trans_std: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    flip_ratio_horizontal: float = 0.5
+    flip_ratio_vertical: float = 0.5
+    point_shuffle: bool = True
 
 
 @dataclass(frozen=True)
@@ -223,29 +244,51 @@ def _transcar_vovnet_trainval() -> TransCARConfig:
     )
 
 
+def _objdgcnn_data() -> DataConfig:
+    # pillar.py:258-279: CBGS, samples_per_gpu 3, 9-sweep points
+    return DataConfig(use_cbgs=True, samples_per_device=3)
+
+
+def _objdgcnn_optim() -> OptimConfig:
+    # pillar.py:283-293: AdamW 1e-4, wd 0.01, clip 35, 20 epochs, VFE +
+    # SECOND at lr×0.1 (the "backbone" group here covers vfe+backbone).
+    # The reference's cyclic-20e schedule is replaced by the same
+    # warmup+cosine family as the camera track (documented divergence).
+    return OptimConfig(lr=1e-4, backbone_lr_mult=0.1, total_epochs=20,
+                       warmup_iters=1000, freeze_camera_branch=False)
+
+
 def _objdgcnn_pillar() -> TransCARConfig:
-    # configs/obj_dgcnn/pillar.py — LiDAR track; model wiring lives in
-    # transcar_tpu.models.dgcnn (encoder='pillar').
+    # configs/obj_dgcnn/pillar.py — PillarFeatureNet(0.2 m) + scatter +
+    # SECOND + BNFPN + DGCNN3DHead.
     return TransCARConfig(
         name="objdgcnn_pillar",
         model=ModelConfig(
             backbone=BackboneConfig(kind="second"),
             head=HeadConfig(num_query=300, with_radar_fusion=False),
             use_grid_mask=False,
+            lidar_encoder="pillar",
         ),
+        data=_objdgcnn_data(),
+        train=TrainConfig(optim=_objdgcnn_optim()),
     )
 
 
 def _objdgcnn_voxel() -> TransCARConfig:
-    # configs/obj_dgcnn/voxel.py — sparse 3D encoder variant
-    # (models.dgcnn.ObjDGCNN with encoder='voxel').
+    # configs/obj_dgcnn/voxel.py — 0.1 m hard voxelization + sparse 3D
+    # encoder variant (models.dgcnn.ObjDGCNN with encoder='voxel').
     return TransCARConfig(
         name="objdgcnn_voxel",
         model=ModelConfig(
             backbone=BackboneConfig(kind="second"),
             head=HeadConfig(num_query=300, with_radar_fusion=False),
             use_grid_mask=False,
+            lidar_encoder="voxel",
+            voxel_size=(0.1, 0.1, 0.2),
+            max_voxels=90000,
         ),
+        data=_objdgcnn_data(),
+        train=TrainConfig(optim=_objdgcnn_optim()),
     )
 
 

@@ -103,6 +103,19 @@ class NuScenesInfos:
         return Sample(info["token"], info["timestamp"], paths, l2i,
                       gt_boxes, gt_labels, gt_names)
 
+    def get_lidar_sample(self, idx: int):
+        """LiDAR-track access: the raw info entry (lidar_path, sweeps,
+        timestamp — data/points.py consumes it) plus name-filtered GT
+        WITHOUT the BEV range filter, which the reference applies after
+        augmentation (pillar.py:199-200 ObjectRangeFilter ordering)."""
+        info = self.infos[idx]
+        gt_boxes = np.zeros((0, 9), np.float32)
+        gt_labels = np.zeros((0,), np.int32)
+        if not self.test_mode and "gt_boxes" in info:
+            gt_boxes, gt_labels, _ = self._annotations(info,
+                                                       range_filter=False)
+        return info, gt_boxes, gt_labels
+
     def _rebase(self, path: str) -> str:
         """Remap absolute paths baked into the infos pkl onto data_root
         (the pkl may come from a different machine).  Paths that already
@@ -115,7 +128,7 @@ class NuScenesInfos:
         rel = path[i + len(marker):] if i >= 0 else os.path.basename(path)
         return os.path.join(self.data_root, rel)
 
-    def _annotations(self, info):
+    def _annotations(self, info, range_filter: bool = True):
         boxes7 = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 7)
         vel = np.asarray(info.get("gt_velocity",
                                   np.zeros((len(boxes7), 2))), np.float32)
@@ -138,16 +151,17 @@ class NuScenesInfos:
         boxes7[:, 2] -= boxes7[:, 5] * 0.5
         boxes9 = np.concatenate([boxes7, vel], axis=1)
 
-        # ObjectRangeFilter: BEV center range + limit_yaw (config :161)
-        bev = np.asarray(
-            [self.pc_range[0], self.pc_range[1],
-             self.pc_range[3], self.pc_range[4]])
-        keep = ((boxes9[:, 0] > bev[0]) & (boxes9[:, 0] < bev[2])
-                & (boxes9[:, 1] > bev[1]) & (boxes9[:, 1] < bev[3]))
-        boxes9, name_idx = boxes9[keep], name_idx[keep]
-        names = [n for n, m in zip(names, keep) if m]
-        # limit_yaw(offset=0.5, period=2π) → yaw ∈ [-π, π)
-        boxes9[:, 6] = (boxes9[:, 6] + np.pi) % (2 * np.pi) - np.pi
+        if range_filter:
+            # ObjectRangeFilter: BEV center range + limit_yaw (config :161)
+            bev = np.asarray(
+                [self.pc_range[0], self.pc_range[1],
+                 self.pc_range[3], self.pc_range[4]])
+            keep = ((boxes9[:, 0] > bev[0]) & (boxes9[:, 0] < bev[2])
+                    & (boxes9[:, 1] > bev[1]) & (boxes9[:, 1] < bev[3]))
+            boxes9, name_idx = boxes9[keep], name_idx[keep]
+            names = [n for n, m in zip(names, keep) if m]
+            # limit_yaw(offset=0.5, period=2π) → yaw ∈ [-π, π)
+            boxes9[:, 6] = (boxes9[:, 6] + np.pi) % (2 * np.pi) - np.pi
         return boxes9, name_idx, names
 
 

@@ -90,7 +90,7 @@ class PrefetchLoader:
                  radar_fn: Optional[Callable[[str], np.ndarray]] = None,
                  seed: int = 0, workers: Optional[int] = None,
                  prefetch: int = 4, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, modality: str = "camera"):
         """``batch_size`` is the GLOBAL batch.  In a multi-host run every
         process constructs the same global shuffle (seeded identically)
         and loads only its contiguous row slice of each global batch —
@@ -108,6 +108,7 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.modality = modality         # "camera" (+radar) | "lidar"
 
     def __len__(self):
         return len(self.indices) // self.batch_size
@@ -130,6 +131,15 @@ class PrefetchLoader:
         def load_one(idx, rank):
             rng = np.random.default_rng(
                 self.seed * 1_000_003 + epoch_idx * 10_007 + int(idx))
+            if self.modality == "lidar":
+                from transcar_tpu.data.points import prepare_lidar_sample
+                info, gt_b, gt_l = self.dataset.get_lidar_sample(int(idx))
+                rebase = (self.dataset._rebase
+                          if self.dataset.data_root else None)
+                return prepare_lidar_sample(
+                    info, self.cfg, self.training, rng, rebase=rebase,
+                    pc_range=self.dataset.pc_range,
+                    gt_boxes=gt_b, gt_labels=gt_l)
             sample = self.dataset.get_sample(int(idx))
             return prepare_sample(sample, self.cfg, self.training, rng,
                                   self.radar_fn)

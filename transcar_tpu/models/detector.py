@@ -95,5 +95,15 @@ class TransCARDetector(nn.Module):
                          deterministic=True)
 
 
-def build_model(cfg: TransCARConfig) -> TransCARDetector:
-    return TransCARDetector(cfg.model)
+def build_model(cfg: TransCARConfig):
+    """Camera/fusion presets → TransCARDetector; ``lidar_encoder`` presets
+    (objdgcnn_{pillar,voxel}) → ObjDGCNN."""
+    m = cfg.model
+    if m.lidar_encoder:
+        from transcar_tpu.models.dgcnn import ObjDGCNN
+
+        return ObjDGCNN(
+            m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
+            max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
+            bev_hw=m.bev_hw, sparse_shape=m.sparse_shape)
+    return TransCARDetector(m)

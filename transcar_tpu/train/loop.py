@@ -84,10 +84,12 @@ def train(cfg: TransCARConfig,
     mesh = make_mesh((mesh_n,), ("data",), devices[:mesh_n])
     batch_size = cfg.data.samples_per_device * mesh_n
 
+    modality = "lidar" if cfg.model.lidar_encoder else "camera"
     loader = PrefetchLoader(dataset, cfg.data, batch_size, training=True,
                             indices=indices, radar_fn=radar_fn,
                             seed=cfg.train.seed,
-                            process_index=pi, process_count=pc)
+                            process_index=pi, process_count=pc,
+                            modality=modality)
     steps_per_epoch = max(len(loader), 1)
     total_steps = steps_per_epoch * cfg.train.optim.total_epochs
     if max_steps is not None:

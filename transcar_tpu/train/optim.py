@@ -72,6 +72,10 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
         if top == "backbone" and any(
                 k == "bn" or k.startswith("bn") for k in keys[1:]):
             return "frozen"
+        if top == "vfe":
+            # ObjDGCNN: pts_voxel_encoder shares the SECOND lr×0.1 group
+            # (pillar.py:286-291 custom_keys)
+            return "backbone"
         if top == "backbone":
             # stem + layer1..layer{frozen_stages} (mmdet ResNet) /
             # stage2..stage{frozen_stages+1} (vovnet.py:353-364) are

@@ -27,12 +27,27 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def init_state(cfg: TransCARConfig, model: TransCARDetector, sample_batch,
+def apply_model(model, params, batch, train: bool, rngs=None):
+    """Dispatch on batch modality: camera/fusion batches carry ``images``;
+    LiDAR (ObjDGCNN) batches carry ``points``/``num_points``."""
+    var = {"params": params}
+    if "points" in batch:
+        return model.apply(var, batch["points"], batch["num_points"],
+                           deterministic=not train, rngs=rngs)
+    return model.apply(var, batch["images"], batch["lidar2img"],
+                       batch.get("radar_tokens"), train=train, rngs=rngs)
+
+
+def init_state(cfg: TransCARConfig, model, sample_batch,
                total_steps: int, rng: jax.Array) -> Tuple[TrainState, Any]:
     """Initialize params + optimizer from an example (host-side) batch."""
-    variables = model.init(
-        rng, sample_batch["images"], sample_batch["lidar2img"],
-        sample_batch.get("radar_tokens"))
+    if "points" in sample_batch:
+        variables = model.init(rng, sample_batch["points"],
+                               sample_batch["num_points"])
+    else:
+        variables = model.init(
+            rng, sample_batch["images"], sample_batch["lidar2img"],
+            sample_batch.get("radar_tokens"))
     params = variables["params"]
     tx = build_optimizer(cfg.train.optim, params, total_steps,
                          freeze_camera=cfg.train.optim.freeze_camera_branch
@@ -42,7 +57,7 @@ def init_state(cfg: TransCARConfig, model: TransCARDetector, sample_batch,
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
 
 
-def make_train_step(cfg: TransCARConfig, model: TransCARDetector, tx,
+def make_train_step(cfg: TransCARConfig, model, tx,
                     mesh=None):
     """Build the jitted train step.  ``batch`` leaves are sharded along the
     mesh's data axis; state is replicated."""
@@ -53,10 +68,8 @@ def make_train_step(cfg: TransCARConfig, model: TransCARDetector, tx,
         gm_rng, do_rng = jax.random.split(step_rng)
 
         def loss_fn(params):
-            preds = model.apply(
-                {"params": params},
-                batch["images"], batch["lidar2img"],
-                batch.get("radar_tokens"), train=True,
+            preds = apply_model(
+                model, params, batch, train=True,
                 rngs={"gridmask": gm_rng, "dropout": do_rng})
             losses = detr3d_loss(
                 preds, batch["gt_boxes"], batch["gt_labels"],
@@ -82,14 +95,11 @@ def make_train_step(cfg: TransCARConfig, model: TransCARDetector, tx,
     )
 
 
-def make_eval_step(cfg: TransCARConfig, model: TransCARDetector, mesh=None):
+def make_eval_step(cfg: TransCARConfig, model, mesh=None):
     """Jitted inference + NMS-free decode."""
 
     def eval_step(params, batch):
-        preds = model.apply(
-            {"params": params},
-            batch["images"], batch["lidar2img"],
-            batch.get("radar_tokens"), train=False)
+        preds = apply_model(model, params, batch, train=False)
         return nms_free_decode(preds, cfg.model.head)
 
     if mesh is None:
