@@ -40,22 +40,32 @@ def main(argv=None):
     # materialize a params template, then load the checkpoint over it
     import numpy as np
     model = build_model(cfg)
-    h, w = cfg.data.img_hw
-    images = np.zeros((1, cfg.model.head.num_cams, h, w, 3), np.float32)
-    l2i = np.tile(np.eye(4, dtype=np.float32),
-                  (1, cfg.model.head.num_cams, 1, 1))
-    radar = (np.full((1, cfg.model.head.num_radar_tokens, 36), 500.0,
-                     np.float32)
-             if cfg.model.head.with_radar_fusion else None)
-    template = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), images, l2i, radar)
-    )["params"]
+    if cfg.model.lidar_encoder:
+        points = np.zeros((1, cfg.data.max_points, 5), np.float32)
+        npts = np.zeros((1,), np.int32)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), points, npts)
+        )["params"]
+    else:
+        h, w = cfg.data.img_hw
+        images = np.zeros((1, cfg.model.head.num_cams, h, w, 3), np.float32)
+        l2i = np.tile(np.eye(4, dtype=np.float32),
+                      (1, cfg.model.head.num_cams, 1, 1))
+        radar = (np.full((1, cfg.model.head.num_radar_tokens, 36), 500.0,
+                         np.float32)
+                 if cfg.model.head.with_radar_fusion else None)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), images, l2i, radar)
+        )["params"]
     params = _load_params(args.checkpoint, cfg, template)
 
     radar_fn = (_try_radar_fn(cfg)
                 if cfg.model.head.with_radar_fusion else None)
+    from transcar_tpu.train.checkpoint import load_batch_stats
+    batch_stats = load_batch_stats(args.checkpoint) or None
     out_path = evaluate(cfg, params, radar_fn=radar_fn,
-                        max_samples=args.max_samples, out_path=args.out)
+                        max_samples=args.max_samples, out_path=args.out,
+                        batch_stats=batch_stats)
     print(f"results written to {out_path}")
 
     if args.eval_metric:

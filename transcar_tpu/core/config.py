@@ -264,7 +264,7 @@ def _objdgcnn_pillar() -> TransCARConfig:
     return TransCARConfig(
         name="objdgcnn_pillar",
         model=ModelConfig(
-            backbone=BackboneConfig(kind="second"),
+            backbone=BackboneConfig(kind="second", norm_eval=False),
             head=HeadConfig(num_query=300, with_radar_fusion=False),
             use_grid_mask=False,
             lidar_encoder="pillar",
@@ -280,7 +280,7 @@ def _objdgcnn_voxel() -> TransCARConfig:
     return TransCARConfig(
         name="objdgcnn_voxel",
         model=ModelConfig(
-            backbone=BackboneConfig(kind="second"),
+            backbone=BackboneConfig(kind="second", norm_eval=False),
             head=HeadConfig(num_query=300, with_radar_fusion=False),
             use_grid_mask=False,
             lidar_encoder="voxel",

@@ -128,8 +128,71 @@ class FrozenBN(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+def train_bn(features: int, eps: float = 1e-5,
+             name: str = "bn") -> nn.BatchNorm:
+    """Trainable BatchNorm factory (``norm_cfg=dict(type='BN')`` — the
+    ObjDGCNN track trains its norms, pillar.py:65-80).  Running statistics
+    live in the ``batch_stats`` collection; torch momentum 0.1 ≡ flax 0.9.
+    Call with ``use_running_average=not train``.
+
+    Cross-device sync: the train step jits over the GLOBAL sharded batch
+    (GSPMD), so the batch-axis mean/var reductions are global — XLA
+    inserts the cross-chip collectives; no axis_name plumbing needed
+    (this upgrades the reference's per-GPU unsynced BN to global-batch
+    statistics)."""
+    return nn.BatchNorm(momentum=0.9, epsilon=eps, name=name)
+
+
+class MaskedBN(nn.Module):
+    """Trainable BatchNorm whose batch statistics ignore padding rows.
+
+    The TPU-first static buffers ([max_voxels, ...] with a valid count)
+    contain fake rows torch's dynamic shapes never see; feeding them into
+    plain BN would bias the statistics toward zero.  ``mask`` marks real
+    rows (broadcastable to ``x[..., 0]``); zero-padded *points inside real
+    voxels* are intentionally included, matching mmdet3d's PFNLayer
+    BatchNorm1d over [real_voxels, C, max_points]."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.9          # torch momentum 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if train:
+            m = jnp.broadcast_to(
+                mask.astype(jnp.float32)[..., None], x.shape)
+            n = jnp.maximum(jnp.sum(m) / self.features, 1.0)
+            xf = x.astype(jnp.float32) * m
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.sum(xf, axis=axes) / n
+            var = jnp.sum(m * (x.astype(jnp.float32)
+                               - mean) ** 2, axis=axes) / n
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
+
+
 class ConvBN(nn.Module):
-    """Conv2D + FrozenBN (+ optional ReLU), NHWC."""
+    """Conv2D + BN (+ optional ReLU), NHWC.
+
+    ``norm='frozen'`` (camera trunk, norm_eval) folds stored statistics;
+    ``norm='batch'`` (LiDAR track) is trainable BatchNorm — pass
+    ``train=True`` during training steps."""
 
     features: int
     kernel: int = 3
@@ -139,9 +202,11 @@ class ConvBN(nn.Module):
     relu: bool = True
     use_bias: bool = False
     dtype: Optional[jnp.dtype] = None
+    norm: str = "frozen"
+    bn_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -152,7 +217,12 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = FrozenBN(self.features, name="bn")(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=self.bn_eps, dtype=x.dtype,
+                             name="bn")(x)
+        else:
+            x = FrozenBN(self.features, eps=self.bn_eps, name="bn")(x)
         if self.relu:
             x = nn.relu(x)
         return x

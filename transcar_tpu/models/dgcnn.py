@@ -15,7 +15,7 @@ Parity targets:
   * ``Deformable3DDetrTransformerDecoder`` (models/utils/detr.py:67-100):
     refinement keeps only the first 2 dims of the 10-dim reg output.
 
-BN layers use stored statistics (see models/second.py note).
+BN layers are trainable (batch_stats collection; see models/second.py).
 """
 from __future__ import annotations
 
@@ -28,7 +28,8 @@ from flax import linen as nn
 
 from transcar_tpu.core.boxes import inverse_sigmoid
 from transcar_tpu.core.config import HeadConfig
-from transcar_tpu.models.common import FFN, LN_EPS, Dense, FrozenBN, MLP
+from transcar_tpu.models.common import (FFN, LN_EPS, Dense, FrozenBN,
+                                        MaskedBN, MLP, train_bn)
 from transcar_tpu.models.second import BNFPN, SECOND
 from transcar_tpu.ops.msdeform import ms_deform_attn_core
 from transcar_tpu.ops.voxelize import hard_voxelize, pillar_scatter
@@ -133,8 +134,10 @@ class DGCNNAttn(nn.Module):
             return jnp.concatenate([neigh, center], axis=-1)
 
         def conv_bn_relu(x, name):
+            # BN trains with the rest of the LiDAR track (type='BN')
             x = Dense(self.embed_dims, use_bias=False, name=name)(x)
-            x = FrozenBN(self.embed_dims, name=name + "_bn")(x)
+            x = train_bn(self.embed_dims, name=name + "_bn")(
+                x, use_running_average=deterministic)
             return nn.relu(x)
 
         e1 = conv_bn_relu(edge_feats(query), "conv1").max(axis=2)
@@ -154,7 +157,7 @@ class PillarFeatureNet(nn.Module):
     pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
 
     @nn.compact
-    def __call__(self, voxels, coords, counts):
+    def __call__(self, voxels, coords, counts, train: bool = False):
         """voxels: [P, M, 5]; coords: [P, 3] (z, y, x); counts: [P]."""
         p, m, _ = voxels.shape
         cnt = jnp.maximum(counts, 1)[:, None, None].astype(voxels.dtype)
@@ -171,7 +174,10 @@ class PillarFeatureNet(nn.Module):
         mask = (jnp.arange(m)[None, :] < counts[:, None])[..., None]
         feats = feats * mask.astype(feats.dtype)
         x = Dense(self.feat_channels, use_bias=False, name="pfn0")(feats)
-        x = FrozenBN(self.feat_channels, eps=1e-3, name="pfn0_bn")(x)
+        # stats over real voxels only (padded [max_voxels] rows excluded;
+        # zero-padded points within real voxels included, as in PFNLayer)
+        x = MaskedBN(self.feat_channels, eps=1e-3, name="pfn0_bn")(
+            x, (counts > 0)[:, None], train=train)
         x = nn.relu(x)
         x = jnp.where(mask, x, -jnp.inf)
         x = jnp.max(x, axis=1)
@@ -313,31 +319,31 @@ class ObjDGCNN(nn.Module):
             feats = PillarFeatureNet(64, self.voxel_size[:2], c.pc_range,
                                      name="vfe")(
                 voxels.reshape(b * pv, m, f), coords.reshape(b * pv, 3),
-                counts.reshape(b * pv))
+                counts.reshape(b * pv), train=not deterministic)
             feats = feats.reshape(b, pv, -1)
             canvas = jax.vmap(
                 lambda ft, co, n: pillar_scatter(ft, co, n, self.bev_hw)
             )(feats, coords, nv)                            # [B, H, W, 64]
-            feats = SECOND(name="backbone")(canvas)
+            feats = SECOND(name="backbone")(canvas,
+                                            train=not deterministic)
         elif self.encoder == "voxel":
             from transcar_tpu.models.sparse_encoder import SparseEncoder
 
             # HardSimpleVFE: per-voxel mean of raw point features
             denom = jnp.maximum(counts, 1)[..., None].astype(voxels.dtype)
             vfeats = jnp.sum(voxels, axis=2) / denom        # [B, V, F]
-            enc = nn.vmap(
-                SparseEncoder,
-                in_axes=(0, 0, 0), out_axes=0,
-                variable_axes={"params": None},
-                split_rngs={"params": False},
-            )(sparse_shape=self.sparse_shape, name="middle_encoder")
-            canvas = enc(vfeats, coords, nv)                # [B, H', W', 256]
+            canvas = SparseEncoder(
+                sparse_shape=self.sparse_shape, name="middle_encoder")(
+                vfeats, coords, nv,
+                train=not deterministic)                    # [B, H', W', 256]
             feats = SECOND(layer_nums=(5, 5), layer_strides=(1, 2),
-                           out_channels=(128, 256), name="backbone")(canvas)
+                           out_channels=(128, 256), name="backbone")(
+                canvas, train=not deterministic)
         else:
             raise ValueError(f"unknown encoder {self.encoder!r}")
 
         feats = BNFPN(in_channels=tuple(f.shape[-1] for f in feats),
-                      num_outs=c.num_levels, name="neck")(feats)
+                      num_outs=c.num_levels, name="neck")(
+            feats, train=not deterministic)
         return DGCNN3DHead(c, self.bev_hw, name="head")(
             feats, deterministic=deterministic)

@@ -6,9 +6,12 @@ mmdet FPN with BN+ReLU ConvModules, start_level 0, num_outs 4 where the
 extra level comes from stride-2 max pooling (mmdet FPN default when
 ``add_extra_convs`` is unset).
 
-BN runs with stored statistics (FrozenBN): correct for inference and for
-converted checkpoints; batch-stat training for the LiDAR track is a
-follow-up (the flagship TransCAR track freezes all BN anyway).
+BN is TRAINABLE (``norm_cfg=dict(type='BN')`` — the reference trains the
+LiDAR track's norms, pillar.py:65-80): batch statistics collect in the
+``batch_stats`` collection during training (``train=True``) and the
+running averages serve inference.  Statistics are computed over the
+global sharded batch under jit, i.e. cross-chip-synced by GSPMD
+(models/common.py train_bn note).
 """
 from __future__ import annotations
 
@@ -26,15 +29,17 @@ class SECOND(nn.Module):
     out_channels: Tuple[int, ...] = (64, 128, 256)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         outs = []
         for s, (n_layers, stride, ch) in enumerate(
                 zip(self.layer_nums, self.layer_strides, self.out_channels)):
             x = ConvBN(ch, kernel=3, stride=stride, padding=1,
-                       dtype=x.dtype, name=f"block{s}_conv0")(x)
+                       dtype=x.dtype, norm="batch",
+                       name=f"block{s}_conv0")(x, train=train)
             for i in range(n_layers):
                 x = ConvBN(ch, kernel=3, padding=1, dtype=x.dtype,
-                           name=f"block{s}_conv{i + 1}")(x)
+                           norm="batch",
+                           name=f"block{s}_conv{i + 1}")(x, train=train)
             outs.append(x)
         return outs
 
@@ -47,10 +52,10 @@ class BNFPN(nn.Module):
     num_outs: int = 4
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         laterals = [
             ConvBN(self.out_channels, kernel=1, dtype=feats[i].dtype,
-                   name=f"lateral{i}")(feats[i])
+                   norm="batch", name=f"lateral{i}")(feats[i], train=train)
             for i in range(len(self.in_channels))
         ]
         for i in range(len(laterals) - 1, 0, -1):
@@ -61,7 +66,8 @@ class BNFPN(nn.Module):
                                                             rx[None, :], :]
         outs = [
             ConvBN(self.out_channels, kernel=3, padding=1,
-                   dtype=laterals[i].dtype, name=f"fpn{i}")(laterals[i])
+                   dtype=laterals[i].dtype, norm="batch",
+                   name=f"fpn{i}")(laterals[i], train=train)
             for i in range(len(laterals))
         ]
         while len(outs) < self.num_outs:

@@ -17,7 +17,12 @@ unavailable to test against bit-for-bit):
     scattering the last stage's sites into a dense [Z', H', W'] grid and
     folding z into channels, followed by a dense 1×1 conv to the 256 BEV
     channels — the same z-collapse role, MXU-friendly.
-  * BN uses stored statistics (FrozenBN) like the rest of the LiDAR track.
+  * BN is trainable: masked batch statistics over real voxels of the WHOLE
+    batch (sparse-tensor BN1d analog; common.MaskedBN), running averages
+    in the batch_stats collection.  The module is batch-native — the pure
+    sparse ops vmap per sample inside while BN sees the full batch, so
+    statistics stay global (per-sample vmapped BN would make the mutable
+    running stats inconsistent across the batch).
 """
 from __future__ import annotations
 
@@ -27,37 +32,46 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from transcar_tpu.models.common import Dense, FrozenBN
+from transcar_tpu.models.common import Dense, MaskedBN, train_bn
 from transcar_tpu.ops.sparse import sparse_conv_down, subm_conv
 
 
 class SparseConvBlock(nn.Module):
-    """SubM or strided sparse conv + FrozenBN + ReLU."""
+    """SubM or strided sparse conv (vmapped over batch) + masked trainable
+    BN over the batch's real voxels + ReLU."""
 
     out_channels: int
     downsample: bool = False
     out_max: int = 0     # required when downsample
 
     @nn.compact
-    def __call__(self, feats, coords, count, grid):
+    def __call__(self, feats, coords, count, grid, train: bool = False):
+        """feats: [B, V, C]; coords: [B, V, 3]; count: [B]."""
         cin = feats.shape[-1]
         weight = self.param(
             "weight", nn.initializers.he_normal(),
             (27, cin, self.out_channels))
         if self.downsample:
-            feats, coords, count = sparse_conv_down(
-                feats, coords, count, weight, grid, self.out_max)
+            feats, coords, count = jax.vmap(
+                lambda f, c, n: sparse_conv_down(f, c, n, weight, grid,
+                                                 self.out_max)
+            )(feats, coords, count)
             grid = tuple((g + 1) // 2 for g in grid)
         else:
-            feats = subm_conv(feats, coords, count, weight, grid)
-        feats = FrozenBN(self.out_channels, eps=1e-3, name="bn")(feats)
-        valid = (jnp.arange(feats.shape[0]) < count)[:, None]
-        feats = nn.relu(feats) * valid.astype(feats.dtype)
+            feats = jax.vmap(
+                lambda f, c, n: subm_conv(f, c, n, weight, grid)
+            )(feats, coords, count)
+        valid = (jnp.arange(feats.shape[1])[None, :]
+                 < count[:, None])                           # [B, V]
+        # BN statistics over the batch's real voxels only
+        feats = MaskedBN(self.out_channels, eps=1e-3, name="bn")(
+            feats, valid, train=train)
+        feats = nn.relu(feats) * valid[..., None].astype(feats.dtype)
         return feats, coords, count, grid
 
 
 class SparseEncoder(nn.Module):
-    """Voxel features → dense BEV map."""
+    """Batched voxel features → dense BEV maps."""
 
     sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)   # (z, y, x)
     encoder_channels: Tuple[Tuple[int, ...], ...] = (
@@ -65,15 +79,14 @@ class SparseEncoder(nn.Module):
     bev_channels: int = 256
 
     @nn.compact
-    def __call__(self, feats, coords, count):
-        """feats: [V, C]; coords: [V, 3] (z, y, x); count: scalar.
-        Returns [H', W', bev_channels] dense BEV (single sample; vmap for
-        batch)."""
+    def __call__(self, feats, coords, count, train: bool = False):
+        """feats: [B, V, C]; coords: [B, V, 3] (z, y, x); count: [B].
+        Returns [B, H', W', bev_channels] dense BEV."""
         grid = self.sparse_shape
-        v = feats.shape[0]
+        v = feats.shape[1]
         feats, coords, count, grid = SparseConvBlock(
             self.encoder_channels[0][0], name="conv_input")(
-            feats, coords, count, grid)
+            feats, coords, count, grid, train=train)
 
         n_stages = len(self.encoder_channels)
         for si, chans in enumerate(self.encoder_channels):
@@ -82,21 +95,26 @@ class SparseEncoder(nn.Module):
                 down = last and si != n_stages - 1
                 feats, coords, count, grid = SparseConvBlock(
                     ch, downsample=down, out_max=v,
-                    name=f"stage{si}_conv{ci}")(feats, coords, count, grid)
+                    name=f"stage{si}_conv{ci}")(feats, coords, count, grid,
+                                                train=train)
 
         # densify: scatter into [Z', H', W', C], fold z into channels
         gz, gy, gx = grid
         c = feats.shape[-1]
-        valid = jnp.arange(feats.shape[0]) < count
-        lin = jnp.where(
-            valid,
-            (coords[:, 0] * gy + coords[:, 1]) * gx + coords[:, 2],
-            gz * gy * gx)
-        canvas = jnp.zeros((gz * gy * gx + 1, c), feats.dtype)
-        canvas = canvas.at[lin].set(
-            jnp.where(valid[:, None], feats, 0.0))
-        dense = canvas[:-1].reshape(gz, gy, gx, c)
-        bev = dense.transpose(1, 2, 0, 3).reshape(gy, gx, gz * c)
+
+        def densify(f, co, n):
+            valid = jnp.arange(f.shape[0]) < n
+            lin = jnp.where(
+                valid,
+                (co[:, 0] * gy + co[:, 1]) * gx + co[:, 2],
+                gz * gy * gx)
+            canvas = jnp.zeros((gz * gy * gx + 1, c), f.dtype)
+            canvas = canvas.at[lin].set(jnp.where(valid[:, None], f, 0.0))
+            dense = canvas[:-1].reshape(gz, gy, gx, c)
+            return dense.transpose(1, 2, 0, 3).reshape(gy, gx, gz * c)
+
+        bev = jax.vmap(densify)(feats, coords, count)
         bev = Dense(self.bev_channels, name="out_conv")(bev)
-        bev = FrozenBN(self.bev_channels, eps=1e-3, name="out_bn")(bev)
+        bev = train_bn(self.bev_channels, eps=1e-3, name="out_bn")(
+            bev, use_running_average=not train)
         return nn.relu(bev)

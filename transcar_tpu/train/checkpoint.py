@@ -89,3 +89,14 @@ def load_params_only(path: str, params_template=None):
     if os.path.isdir(state_dir):    # CheckpointManager composite step dir
         return _restore_numpy_tree(state_dir)["params"]
     return _restore_numpy_tree(path)
+
+
+def load_batch_stats(path: str):
+    """Running BN statistics from a training checkpoint step dir (LiDAR
+    track); {} when the checkpoint carries none (camera track / published
+    params-only dirs)."""
+    state_dir = os.path.join(os.path.abspath(path), "state")
+    if os.path.isdir(state_dir):
+        raw = _restore_numpy_tree(state_dir)
+        return raw.get("batch_stats", {}) or {}
+    return {}

@@ -170,7 +170,8 @@ def train(cfg: TransCARConfig,
 def evaluate(cfg: TransCARConfig, params,
              radar_fn: Optional[Callable[[str], np.ndarray]] = None,
              max_samples: Optional[int] = None,
-             out_path: Optional[str] = None) -> str:
+             out_path: Optional[str] = None,
+             batch_stats=None) -> str:
     """Inference over the val set → nuScenes submission json
     (tools/test.py --format-only analog).  Devkit metrics via
     eval.submission.evaluate_nuscenes when raw data is present.
@@ -188,14 +189,16 @@ def evaluate(cfg: TransCARConfig, params,
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     my_indices = np.arange(n)[pi::pc]
-    loader = PrefetchLoader(dataset, cfg.data, batch_size=1, training=False,
-                            indices=my_indices, radar_fn=radar_fn)
+    loader = PrefetchLoader(
+        dataset, cfg.data, batch_size=1, training=False,
+        indices=my_indices, radar_fn=radar_fn,
+        modality="lidar" if cfg.model.lidar_encoder else "camera")
     local = {"boxes": [], "scores": [], "labels": [], "valid": [],
              "sample_idx": []}
     for idx, batch in enumerate(loader.epoch(0)):
         if idx >= len(my_indices):
             break
-        out = eval_step(params, batch)
+        out = eval_step(params, batch, batch_stats)
         local["boxes"].append(np.asarray(out["boxes"][0]))
         local["scores"].append(np.asarray(out["scores"][0]))
         local["labels"].append(np.asarray(out["labels"][0]))

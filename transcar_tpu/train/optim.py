@@ -44,7 +44,7 @@ def lr_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
 
 
 def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
-                frozen_stages: int = 1):
+                frozen_stages: int = 1, norm_eval: bool = True):
     """Build the multi_transform label pytree.
 
     ``frozen_stages`` mirrors mmdet ResNet/VoVNet stage freezing
@@ -52,6 +52,10 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
     and stages 1..frozen_stages get ``requires_grad=False`` in the
     reference, so in full-training (DETR3D) mode their conv kernels are
     labeled "frozen" here rather than trained at backbone lr·0.1.
+
+    ``norm_eval``: the camera backbones freeze BN affine params
+    (requires_grad=False, config :38-39); the LiDAR track trains them
+    (``type='BN'``, pillar.py:65-80) — set norm_eval=False there.
     """
 
     def label(path, _):
@@ -69,7 +73,7 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
             return "frozen"
         # DETR3D full training: backbone gets lr ×0.1; its frozen-BN affine
         # params never train (requires_grad=False, norm_eval config :38-39)
-        if top == "backbone" and any(
+        if norm_eval and top == "backbone" and any(
                 k == "bn" or k.startswith("bn") for k in keys[1:]):
             return "frozen"
         if top == "vfe":
@@ -94,13 +98,13 @@ def make_labels(params, freeze_camera: bool, backbone_lr_mult: float,
 
 def build_optimizer(cfg: OptimConfig, params: Any, total_steps: int,
                     freeze_camera: bool | None = None,
-                    frozen_stages: int = 1
+                    frozen_stages: int = 1, norm_eval: bool = True
                     ) -> optax.GradientTransformation:
     if freeze_camera is None:
         freeze_camera = cfg.freeze_camera_branch
     sched = lr_schedule(cfg, total_steps)
     labels = make_labels(params, freeze_camera, cfg.backbone_lr_mult,
-                         frozen_stages=frozen_stages)
+                         frozen_stages=frozen_stages, norm_eval=norm_eval)
 
     def adamw(lr_mult):
         return optax.adamw(

@@ -25,17 +25,35 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # running BN statistics (LiDAR track trains its norms, pillar.py:65-80;
+    # empty dict for the camera track whose BN is frozen)
+    batch_stats: Any = {}
 
 
-def apply_model(model, params, batch, train: bool, rngs=None):
+def apply_model(model, params, batch, train: bool, rngs=None,
+                batch_stats=None):
     """Dispatch on batch modality: camera/fusion batches carry ``images``;
-    LiDAR (ObjDGCNN) batches carry ``points``/``num_points``."""
+    LiDAR (ObjDGCNN) batches carry ``points``/``num_points``.
+
+    With non-empty ``batch_stats`` and ``train=True``, returns
+    (preds, new_batch_stats); otherwise just preds."""
     var = {"params": params}
+    has_bn = bool(batch_stats)
+    if has_bn:
+        var["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (has_bn and train) else False
     if "points" in batch:
-        return model.apply(var, batch["points"], batch["num_points"],
-                           deterministic=not train, rngs=rngs)
-    return model.apply(var, batch["images"], batch["lidar2img"],
-                       batch.get("radar_tokens"), train=train, rngs=rngs)
+        out = model.apply(var, batch["points"], batch["num_points"],
+                          deterministic=not train, rngs=rngs,
+                          mutable=mutable)
+    else:
+        out = model.apply(var, batch["images"], batch["lidar2img"],
+                          batch.get("radar_tokens"), train=train, rngs=rngs,
+                          mutable=mutable)
+    if mutable:
+        preds, new_vars = out
+        return preds, new_vars["batch_stats"]
+    return out
 
 
 def init_state(cfg: TransCARConfig, model, sample_batch,
@@ -49,12 +67,15 @@ def init_state(cfg: TransCARConfig, model, sample_batch,
             rng, sample_batch["images"], sample_batch["lidar2img"],
             sample_batch.get("radar_tokens"))
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(cfg.train.optim, params, total_steps,
                          freeze_camera=cfg.train.optim.freeze_camera_branch
                          and cfg.model.head.with_radar_fusion,
-                         frozen_stages=cfg.model.backbone.frozen_stages)
+                         frozen_stages=cfg.model.backbone.frozen_stages,
+                         norm_eval=cfg.model.backbone.norm_eval)
     opt_state = tx.init(params)
-    return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state,
+                      batch_stats), tx
 
 
 def make_train_step(cfg: TransCARConfig, model, tx,
@@ -68,19 +89,23 @@ def make_train_step(cfg: TransCARConfig, model, tx,
         gm_rng, do_rng = jax.random.split(step_rng)
 
         def loss_fn(params):
-            preds = apply_model(
+            out = apply_model(
                 model, params, batch, train=True,
-                rngs={"gridmask": gm_rng, "dropout": do_rng})
+                rngs={"gridmask": gm_rng, "dropout": do_rng},
+                batch_stats=state.batch_stats)
+            preds, new_stats = out if bool(state.batch_stats) else (out,
+                                                                    {})
             losses = detr3d_loss(
                 preds, batch["gt_boxes"], batch["gt_labels"],
                 batch["num_gt"], cfg.model.head)
-            return losses["total"], losses
+            return losses["total"], (losses, new_stats)
 
-        (_, losses), grads = jax.value_and_grad(
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(state.step + 1, params, opt_state), losses
+        return TrainState(state.step + 1, params, opt_state,
+                          new_stats), losses
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
@@ -96,14 +121,17 @@ def make_train_step(cfg: TransCARConfig, model, tx,
 
 
 def make_eval_step(cfg: TransCARConfig, model, mesh=None):
-    """Jitted inference + NMS-free decode."""
+    """Jitted inference + NMS-free decode.  ``batch_stats`` (running BN
+    averages, LiDAR track) rides as an optional extra argument."""
 
-    def eval_step(params, batch):
-        preds = apply_model(model, params, batch, train=False)
+    def eval_step(params, batch, batch_stats=None):
+        preds = apply_model(model, params, batch, train=False,
+                            batch_stats=batch_stats)
         return nms_free_decode(preds, cfg.model.head)
 
     if mesh is None:
         return jax.jit(eval_step)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(eval_step, in_shardings=(rep, bs), out_shardings=bs)
+    return jax.jit(eval_step, in_shardings=(rep, bs, rep),
+                   out_shardings=bs)
