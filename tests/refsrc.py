@@ -1,0 +1,257 @@
+"""Import reference source files as test oracles (VERDICT.md round-1 #6).
+
+The reference plugin modules import mmcv/mmdet/mmdet3d/nuscenes machinery
+that is not installed in this container.  This helper installs *minimal*
+stub modules into ``sys.modules`` — registries whose ``register_module`` is
+an identity decorator, empty base classes, and the handful of tiny upstream
+functions the reference calls (documented inline with their upstream
+definitions) — then imports the actual reference ``.py`` files by path, so
+parity tests exercise the reference's own code rather than restatements.
+
+Nothing here touches /root/reference except read-only imports, and the
+stubs are installed only inside the test process.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+class _Registry:
+    """Stands in for any mmcv/mmdet registry: ``@REG.register_module()``
+    (optionally with kwargs) must return the class unchanged."""
+
+    def register_module(self, *args, **kwargs):
+        if args and isinstance(args[0], type):
+            return args[0]
+
+        def deco(obj):
+            return obj
+
+        return deco
+
+
+def _module(name, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+        parent, _, child = name.rpartition(".")
+        if parent:
+            setattr(_module(parent), child, mod)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _torch_inverse_sigmoid(x, eps=1e-5):
+    """mmdet.models.utils.transformer.inverse_sigmoid (upstream mmdet
+    v2.x), byte-identical semantics: clamp to [0,1], clamp num/den at eps,
+    log-ratio.  4 lines of upstream utility the reference imports."""
+    x = x.clamp(min=0, max=1)
+    x1 = x.clamp(min=eps)
+    x2 = (1 - x).clamp(min=eps)
+    import torch
+
+    return torch.log(x1 / x2)
+
+
+class _FocalLossCost:
+    """mmdet.core.bbox.match_costs.FocalLossCost (binary branch), as
+    configured by detr3d_res101_gridmask.py:105-111.  Needed because the
+    reference builds its costs through the mmdet registry."""
+
+    def __init__(self, weight=1.0, alpha=0.25, gamma=2, eps=1e-12):
+        self.weight = weight
+        self.alpha = alpha
+        self.gamma = gamma
+        self.eps = eps
+
+    def __call__(self, cls_pred, gt_labels):
+        cls_pred = cls_pred.sigmoid()
+        neg_cost = (-(1 - cls_pred + self.eps).log() * (1 - self.alpha)
+                    * cls_pred.pow(self.gamma))
+        pos_cost = (-(cls_pred + self.eps).log() * self.alpha
+                    * (1 - cls_pred).pow(self.gamma))
+        cls_cost = pos_cost[:, gt_labels] - neg_cost[:, gt_labels]
+        return cls_cost * self.weight
+
+
+class _IoUCost:
+    """Configured with weight 0.0 (a fake — detr3d_res101_gridmask.py:113)
+    and never exercised: HungarianAssigner3D.assign sums only cls+reg."""
+
+    def __init__(self, iou_mode="giou", weight=0.0):
+        self.weight = weight
+
+    def __call__(self, *a, **k):  # pragma: no cover - dead in reference too
+        return 0.0
+
+
+class _AssignResult:
+    def __init__(self, num_gts, gt_inds, max_overlaps, labels=None):
+        self.num_gts = num_gts
+        self.gt_inds = gt_inds
+        self.max_overlaps = max_overlaps
+        self.labels = labels
+
+
+def _build_match_cost(cfg):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    table = {"FocalLossCost": _FocalLossCost, "IoUCost": _IoUCost}
+    if kind in table:
+        return table[kind](**cfg)
+    # plugin-registered costs (BBox3DL1Cost) come from the reference itself
+    mc = load_ref_module(
+        "projects/mmdet3d_plugin/core/bbox/match_costs/match_cost.py",
+        "ref_match_cost")
+    return getattr(mc, kind)(**cfg)
+
+
+def install_stubs():
+    """Install mm* / nuscenes stub modules (idempotent)."""
+    if "mmdet.core.bbox.builder" in sys.modules:
+        return
+    import torch.nn as nn
+
+    class _BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+    # ---- mmcv ----
+    _module("mmcv")
+    _module(
+        "mmcv.cnn",
+        Linear=nn.Linear,
+        xavier_init=lambda *a, **k: None,
+        constant_init=lambda *a, **k: None,
+        bias_init_with_prob=lambda p: float(-__import__("math").log(
+            (1 - p) / p)),
+    )
+    _module("mmcv.cnn.bricks")
+    _module("mmcv.cnn.bricks.registry", ATTENTION=_Registry(),
+            TRANSFORMER_LAYER_SEQUENCE=_Registry(),
+            POSITIONAL_ENCODING=_Registry())
+    _module("mmcv.cnn.bricks.transformer",
+            MultiScaleDeformableAttention=type(
+                "MultiScaleDeformableAttention", (_BaseModule,), {}),
+            TransformerLayerSequence=type(
+                "TransformerLayerSequence", (_BaseModule,), {}),
+            build_transformer_layer_sequence=lambda cfg: None)
+    _module("mmcv.runner", force_fp32=lambda **k: (lambda f: f),
+            auto_fp16=lambda **k: (lambda f: f))
+    _module("mmcv.runner.base_module", BaseModule=_BaseModule)
+
+    # ---- mmdet ----
+    _module("mmdet")
+    _module("mmdet.core", multi_apply=None, reduce_mean=lambda t: t)
+    _module("mmdet.core.bbox", BaseBBoxCoder=object, BaseAssigner=object)
+    _module("mmdet.core.bbox.builder", BBOX_CODERS=_Registry(),
+            BBOX_ASSIGNERS=_Registry(), BBOX_SAMPLERS=_Registry())
+    _module("mmdet.core.bbox.assigners", AssignResult=_AssignResult,
+            BaseAssigner=object)
+    _module("mmdet.core.bbox.match_costs",
+            build_match_cost=_build_match_cost, FocalLossCost=_FocalLossCost)
+    _module("mmdet.core.bbox.match_costs.builder", MATCH_COST=_Registry())
+    _module("mmdet.models", HEADS=_Registry(), DETECTORS=_Registry())
+    _module("mmdet.models.utils")
+    _module("mmdet.models.utils.builder", TRANSFORMER=_Registry())
+    _module("mmdet.models.utils.transformer",
+            inverse_sigmoid=_torch_inverse_sigmoid)
+    _module("mmdet.models.dense_heads", DETRHead=_BaseModule)
+
+    # ---- mmdet3d / nuscenes / pyquaternion (module-scope imports only) ----
+    _module("mmdet3d")
+    _module("mmdet3d.core")
+    _module("mmdet3d.core.bbox")
+    _module("mmdet3d.core.bbox.coders", build_bbox_coder=lambda cfg: None)
+
+    class _NuScenes:  # detr3d_head.py:27 runs at module scope
+        def __init__(self, *a, **k):
+            pass
+
+    _module("nuscenes")
+    _module("nuscenes.nuscenes", NuScenes=_NuScenes)
+    _module("nuscenes.utils")
+    _module("nuscenes.utils.data_classes", RadarPointCloud=object)
+    _module("pyquaternion", Quaternion=object)
+
+    # the reference's own package path for intra-plugin imports
+    _ref_pkg_module("projects")
+    _ref_pkg_module("projects.mmdet3d_plugin")
+    _ref_pkg_module("projects.mmdet3d_plugin.core")
+    _ref_pkg_module("projects.mmdet3d_plugin.core.bbox")
+    util = load_ref_module("projects/mmdet3d_plugin/core/bbox/util.py",
+                           "projects.mmdet3d_plugin.core.bbox.util")
+    sys.modules["projects.mmdet3d_plugin.core.bbox"].util = util
+
+
+def _ref_pkg_module(name):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # mark as package
+        sys.modules[name] = mod
+
+
+_cache: dict = {}
+
+
+def load_ref_module(relpath: str, name: str):
+    """Import a reference source file by path under ``name``."""
+    if name in _cache:
+        return _cache[name]
+    install_stubs()
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF_ROOT}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    _cache[name] = mod
+    return mod
+
+
+# ---- convenience loaders -------------------------------------------------
+
+def ref_box_util():
+    return load_ref_module("projects/mmdet3d_plugin/core/bbox/util.py",
+                           "projects.mmdet3d_plugin.core.bbox.util")
+
+
+def ref_nms_free_coder():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/core/bbox/coders/nms_free_coder.py",
+        "ref_nms_free_coder")
+
+
+def ref_match_cost():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/core/bbox/match_costs/match_cost.py",
+        "ref_match_cost")
+
+
+def ref_assigner():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/core/bbox/assigners/"
+        "hungarian_assigner_3d.py", "ref_hungarian_assigner_3d")
+
+
+def ref_transformer():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/models/utils/detr3d_transformer.py",
+        "ref_detr3d_transformer")
+
+
+def ref_grid_mask():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/models/utils/grid_mask.py", "ref_grid_mask")
+
+
+def ref_dgcnn_attn():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/models/utils/dgcnn_attn.py",
+        "ref_dgcnn_attn")
