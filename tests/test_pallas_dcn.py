@@ -86,3 +86,56 @@ def test_banded_out_of_band_taps_vanish():
         band_radius=2, interpret=True))
     # interior rows: every tap out-of-band → output exactly zero
     np.testing.assert_allclose(out[:, 5:8], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# separable kernel (x one-hot on MXU, y band reduction on VPU)
+# ---------------------------------------------------------------------------
+
+from transcar_tpu.ops.pallas_dcn import modulated_deform_conv_sep
+
+
+def test_separable_matches_exact_within_band():
+    rng = np.random.default_rng(5)
+    # B=24 → exact for |Δy| ≤ 3 (B/2 − 9); h > B so a genuine band
+    x, om, weight, bias = _case(rng, 2, 48, 18, 8, 16,
+                                offy_scale=3.0, offx_scale=6.0)
+    ref = np.asarray(_exact(x, om, weight, bias))
+    out = np.asarray(modulated_deform_conv_sep(
+        x, om, weight, bias, band_rows=24, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_full_band_exact_any_offsets():
+    """band_rows ≥ padded image height → exact for arbitrary offsets."""
+    rng = np.random.default_rng(6)
+    x, om, weight, bias = _case(rng, 1, 15, 12, 4, 8,
+                                offy_scale=9.0, offx_scale=9.0)
+    ref = np.asarray(_exact(x, om, weight, bias))
+    out = np.asarray(modulated_deform_conv_sep(
+        x, om, weight, bias, band_rows=16, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_zero_offsets_is_plain_conv():
+    rng = np.random.default_rng(7)
+    x, om, weight, bias = _case(rng, 1, 33, 12, 4, 8,
+                                offy_scale=0.0, offx_scale=0.0)
+    ref = np.asarray(_exact(x, om, weight, bias))
+    out = np.asarray(modulated_deform_conv_sep(
+        x, om, weight, bias, band_rows=16, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_out_of_band_taps_vanish():
+    rng = np.random.default_rng(8)
+    n, h, w, cin, cout = 1, 40, 10, 4, 4
+    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+    om = np.zeros((n, h, w, 27), np.float32)
+    om[..., 0:18:2] = 21.0         # Δy = 21 ≫ band coverage everywhere
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+    out = np.asarray(modulated_deform_conv_sep(
+        jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight),
+        band_rows=16, interpret=True))
+    # interior rows: every tap out-of-band → output exactly zero
+    np.testing.assert_allclose(out[:, 16:20], 0.0, atol=1e-6)

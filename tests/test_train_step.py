@@ -158,3 +158,31 @@ def test_tensor_parallel_sharding_specs():
     assert head["fusion0_norm2"]["scale"].spec == ()
 
     ge.dryrun_multichip(4)   # executes one dp2×tp2 step end-to-end
+
+
+def test_eval_step_on_mesh_matches_single_device():
+    """make_eval_step over a dp4 mesh: compiles, executes, and produces
+    the same decode as the unsharded path (multi_gpu_test analog,
+    tools/test.py:218-223)."""
+    from transcar_tpu.train.step import make_eval_step
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=24, radar_tokens=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(2)
+    batch = ge._fake_batch(rng, 4, 6, 64, 96, 32, max_gt=4)
+    state, _ = init_state(cfg, model, batch, total_steps=10,
+                          rng=jax.random.PRNGKey(0))
+
+    ref_step = make_eval_step(cfg, model)
+    batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+    ref = ref_step(state.params, batch_j)
+
+    mesh = make_mesh(shape=(4,), devices=jax.devices()[:4])
+    eval_step = make_eval_step(cfg, model, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    out = eval_step(state.params, sharded)
+
+    assert out["boxes"].shape[0] == 4
+    for k in ("boxes", "scores", "labels", "valid"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-5)

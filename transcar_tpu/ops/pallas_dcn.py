@@ -146,6 +146,130 @@ def banded_deform_sample(x: jnp.ndarray, offset_mask: jnp.ndarray,
     return sampled.reshape(n, h, w, 9 * cin)
 
 
+def _sep_kernel(x_ref, omp_ref, o_ref, *, hp, w, cin, band):
+    """Separable one (image, output row) grid step.
+
+    The banded kernel above pays for a [9W, band·W] one-hot assembly (a
+    band-iteration store loop full of relayouts) and contracts over
+    band·W mostly-zero columns.  This variant splits the bilinear into
+    its x and y factors:
+
+        xr[p, b·C+c] = Σ_j wx[p, j] · xband[j, b·C+c]      (one MXU dot)
+        out[p, c]    = Σ_b wy[p, b] · xr[p, b·C+c]         (B VPU FMAs)
+
+    with xband the image pre-transposed to [W, H'·C] so the row band is a
+    *lane* slice at a provably 256·8-aligned dynamic offset (Mosaic
+    requires aligned dynamic slice starts; the band start is clamped to a
+    multiple of 8 rows, which costs band coverage — see
+    separable_deform_sample for the guarantee).
+
+    x_ref:  [1, W, H'·C]  transposed image (block revisited across rows)
+    omp_ref: [1, 1, 9W, 4] per-p offset columns (lane 0=Δy, 1=Δx, 2=mask;
+        p = q·9 + k, pre-flattened outside — Mosaic cannot shape-cast
+        [W, 9] → [9W, 1] in-kernel)
+    o_ref:  [1, 1, 9·W, Cin] sampled·mask output, p = q·9 + k
+    """
+    r = pl.program_id(1)
+    # aligned band start: s8 = 8·t ≈ r − band/2, clamped into the image
+    t = jnp.clip((r - band // 2 + 7) // 8, 0, (hp - band) // 8)
+    s8 = t * 8
+
+    omp = omp_ref[0, 0].astype(jnp.float32)           # [9W, 4]
+    dy = omp[:, 0:1]                                  # [9W, 1], p = q·9+k
+    dx = omp[:, 1:2]
+    mk = jax.nn.sigmoid(omp[:, 2:3])
+
+    pp = jax.lax.broadcasted_iota(jnp.int32, (w * 9, 1), 0)
+    kk = pp % 9
+    qq = pp // 9
+    ky = (kk // 3 - 1).astype(jnp.float32)
+    kx = (kk % 3 - 1).astype(jnp.float32)
+
+    py = r.astype(jnp.float32) + ky + dy
+    px = qq.astype(jnp.float32) + kx + dx
+    y0f = jnp.floor(py)
+    x0f = jnp.floor(px)
+    fy = py - y0f                                     # [9W, 1]
+    fx = px - x0f
+    y0r = y0f.astype(jnp.int32) - s8                  # band-relative
+    x0 = x0f.astype(jnp.int32)
+
+    # x one-hot (zero-padding in x exact; modulation folded in)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (w * 9, w), 1)
+    wx = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+          + jnp.where(jj == x0 + 1, fx, 0.0)) * mk    # [9W, W]
+
+    # y bilinear weights over the band (taps outside the band → 0)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (w * 9, band), 1)
+    wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
+          + jnp.where(bb == y0r + 1, fy, 0.0))        # [9W, band]
+
+    xband = x_ref[0, :, pl.ds(pl.multiple_of(s8 * cin, 8 * cin),
+                              band * cin)]            # [W, band·C]
+    xr = jax.lax.dot_general(
+        wx.astype(x_ref.dtype), xband,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [9W, band·C]
+
+    acc = jnp.zeros((w * 9, cin), jnp.float32)
+    for b in range(band):                             # static lane slices
+        acc = acc + wy[:, b:b + 1] * xr[:, b * cin:(b + 1) * cin]
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("band_rows", "interpret"))
+def separable_deform_sample(x: jnp.ndarray, offset_mask: jnp.ndarray,
+                            band_rows: int = 24,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Deformable bilinear sampling × sigmoid(mask), separable kernel.
+
+    Same contract as :func:`banded_deform_sample`.  Exactness guarantee:
+    with ``band_rows`` = B (multiple of 8), every tap with vertical
+    offset |Δy| ≤ B/2 − 8 is exact (the −8 pays for the 8-row alignment
+    of the band start); taps falling outside the band contribute zero.
+    Horizontal offsets are never approximated.  B=24 → |Δy| ≤ 4,
+    B=32 → |Δy| ≤ 8.
+
+    Args:
+      x: [N, H, W, Cin]; offset_mask: [N, H, W, 27] raw conv_offset output
+        (mmcv layout: ch 2k = Δy_k, 2k+1 = Δx_k, 18+k = mask_k).
+    Returns:
+      [N, H, W, 9·Cin] sampled taps (tap-major per pixel), x.dtype.
+    """
+    n, h, w, cin = x.shape
+    hp = max(-(-h // 8) * 8, band_rows)
+    band = band_rows
+
+    # [N, W, H'·C]: row band becomes an aligned lane slice
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    xt = xt.reshape(n, w, hp * cin)
+
+    om = offset_mask.astype(jnp.float32)
+    # per-p (q-major) offset columns: [N, H, 9W, 4]
+    omp = jnp.stack([om[..., 0:18:2], om[..., 1:18:2], om[..., 18:27],
+                     jnp.zeros_like(om[..., 18:27])], axis=-1)
+    omp = omp.reshape(n, h, w * 9, 4)
+
+    sampled = pl.pallas_call(
+        functools.partial(_sep_kernel, hp=hp, w=w, cin=cin, band=band),
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9 * w, 4), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 9 * w, cin),
+                               lambda ni, r: (ni, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, 9 * w, cin), x.dtype),
+        interpret=interpret,
+    )(xt, omp)
+    # p = q·9 + k → [N, H, W, 9, Cin] → im2col layout [N, H, W, 9·Cin]
+    return sampled.reshape(n, h, w, 9 * cin)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("band_radius", "interpret"))
 def modulated_deform_conv_fast(x: jnp.ndarray, offset_mask: jnp.ndarray,
@@ -164,6 +288,31 @@ def modulated_deform_conv_fast(x: jnp.ndarray, offset_mask: jnp.ndarray,
     sampled = banded_deform_sample(x, offset_mask,
                                    band_radius=band_radius,
                                    interpret=interpret)
+    out = jax.lax.dot_general(
+        sampled.reshape(n * h * w, 9 * cin),
+        weight.reshape(9 * cin, cout).astype(sampled.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(n, h, w, cout)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band_rows", "interpret"))
+def modulated_deform_conv_sep(x: jnp.ndarray, offset_mask: jnp.ndarray,
+                              weight: jnp.ndarray,
+                              bias: jnp.ndarray | None = None,
+                              band_rows: int = 24,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Batched fused DCNv2 via the separable kernel (same contract as
+    :func:`modulated_deform_conv_fast`; exact for |Δy| ≤ band_rows/2 − 9,
+    Δx unrestricted)."""
+    n, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    sampled = separable_deform_sample(x, offset_mask, band_rows=band_rows,
+                                      interpret=interpret)
     out = jax.lax.dot_general(
         sampled.reshape(n * h * w, 9 * cin),
         weight.reshape(9 * cin, cout).astype(sampled.dtype),

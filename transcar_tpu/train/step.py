@@ -133,5 +133,13 @@ def make_eval_step(cfg: TransCARConfig, model, mesh=None):
         return jax.jit(eval_step)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(eval_step, in_shardings=(rep, bs, rep),
-                   out_shardings=bs)
+    jitted = jax.jit(eval_step, in_shardings=(rep, bs, rep),
+                     out_shardings=bs)
+
+    # pjit requires the arity of in_shardings to match the call; fill the
+    # optional batch_stats with an empty (leafless) pytree when absent
+    def eval_step_mesh(params, batch, batch_stats=None):
+        return jitted(params, batch,
+                      {} if batch_stats is None else batch_stats)
+
+    return eval_step_mesh
