@@ -167,6 +167,23 @@ def _dump(out_dir, name, infos, meta):
     print(f"wrote {len(infos)} infos to {path}")
 
 
+def export_2d_annotations(root_path: str, version: str, out_dir: str):
+    """coco-json 2D annotation export for every split's infos pkl
+    (reference create_data.py:70-80 → nuscenes_converter.py:348-410)."""
+    from nuscenes import NuScenes
+
+    from transcar_tpu.data.export2d import export_2d_annotation
+
+    nusc = NuScenes(version=version, dataroot=root_path, verbose=True)
+    splits = (["test"] if "test" in version else ["train", "val"])
+    for split in splits:
+        info_path = os.path.join(out_dir, f"nuscenes_infos_{split}.pkl")
+        if os.path.exists(info_path):
+            export_2d_annotation(nusc, info_path)
+        else:
+            print(f"skip 2d-anno export: {info_path} missing")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset", choices=["nuscenes"])
@@ -174,9 +191,15 @@ def main(argv=None):
     ap.add_argument("--version", default="v1.0-trainval")
     ap.add_argument("--max-sweeps", type=int, default=10)
     ap.add_argument("--out-dir")
+    ap.add_argument("--with-2d-anno", action="store_true",
+                    help="also export coco-style 2D annotations "
+                         "(reference create_data.py:70-80)")
     args = ap.parse_args(argv)
     create_nuscenes_infos(args.root_path, args.version, args.max_sweeps,
                           args.out_dir)
+    if args.with_2d_anno:
+        export_2d_annotations(args.root_path, args.version,
+                              args.out_dir or args.root_path)
 
 
 if __name__ == "__main__":
