@@ -165,6 +165,24 @@ def install_stubs():
             inverse_sigmoid=_torch_inverse_sigmoid)
     _module("mmdet.models.dense_heads", DETRHead=_BaseModule)
 
+    # ---- mmcv image ops used by transform_3d (minimal numpy stand-ins;
+    # pipeline-op tests compare GEOMETRY, not these pixels) ----
+    import numpy as _np
+
+    def _imresize(img, size, return_scale=False):
+        out = _np.zeros((size[1], size[0]) + img.shape[2:], img.dtype)
+        return (out, 1.0, 1.0) if return_scale else out
+
+    _module("mmcv",
+            imresize=_imresize,
+            imflip=lambda img, direction="horizontal": (
+                img[:, ::-1] if direction == "horizontal" else img[::-1]),
+            impad=lambda img, shape=None, pad_val=0: img,
+            impad_to_multiple=lambda img, divisor, pad_val=0: img,
+            imnormalize=lambda img, mean, std, to_rgb=True: img)
+    _module("mmdet.datasets")
+    _module("mmdet.datasets.builder", PIPELINES=_Registry())
+
     # ---- mmdet3d / nuscenes / pyquaternion (module-scope imports only) ----
     _module("mmdet3d")
     _module("mmdet3d.core")

@@ -91,3 +91,28 @@ def test_train_mode_with_gridmask_and_dropout():
         rngs={"gridmask": jax.random.PRNGKey(1),
               "dropout": jax.random.PRNGKey(2)})
     assert np.isfinite(np.asarray(out["all_bbox_preds"])).all()
+
+
+def test_resolve_dcn_impl_routing():
+    """auto → exact on CPU meshes / in training; explicit values pass
+    through; the detector threads the resolved impl to the backbone."""
+    import dataclasses
+
+    import jax
+
+    import __graft_entry__ as ge
+    from transcar_tpu.models.detector import build_model, resolve_dcn_impl
+
+    cfg = ge._tiny_cfg()
+    assert jax.default_backend() == "cpu"
+    assert resolve_dcn_impl(cfg, training=False) == "exact"
+    assert resolve_dcn_impl(cfg, training=True) == "exact"
+
+    forced = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, backbone=dataclasses.replace(
+                cfg.model.backbone, dcn_impl="pallas")))
+    assert resolve_dcn_impl(forced, training=True) == "pallas"
+    model = build_model(forced)
+    assert model.dcn_impl == "pallas"
+    assert build_model(cfg).dcn_impl == "exact"

@@ -313,3 +313,103 @@ def test_dgcnn_attn_vs_reference_source():
                      deterministic=True)
     got = np.asarray(got).transpose(1, 0, 2)
     np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# transform_3d.py — RandomScaleImageMultiViewImage geometry
+# ---------------------------------------------------------------------------
+
+class _FakeBoxes:
+    def __init__(self, arr):
+        self.tensor = torch.from_numpy(arr.copy())
+
+
+def test_random_scale_geometry_vs_reference_source(monkeypatch):
+    from transcar_tpu.data.pipeline import random_scale_images
+
+    t3d = refsrc.load_ref_module(
+        "projects/mmdet3d_plugin/datasets/pipelines/transform_3d.py",
+        "ref_transform_3d")
+    rng = np.random.default_rng(11)
+    n, h, w = 6, 92, 160
+    l2i = _rand_lidar2img(rng, n, h, w).astype(np.float64)
+    boxes = np.concatenate([
+        rng.uniform(-40, 40, (5, 3)),
+        rng.uniform(0.5, 6, (5, 3)),
+        rng.uniform(-np.pi, np.pi, (5, 1)),
+        rng.uniform(-3, 3, (5, 2)),
+    ], axis=1).astype(np.float32)
+
+    for s in (0.5, 1.5):
+        op = t3d.RandomScaleImageMultiViewImage(scales=[s])
+        monkeypatch.setattr(np.random, "shuffle", lambda x: None)
+        results = {
+            "img": [np.zeros((h, w, 3), np.float32) for _ in range(n)],
+            "img_shape": [(h, w, 3)] * n,
+            "lidar2img": [l2i[i].copy() for i in range(n)],
+            "gt_bboxes_3d": _FakeBoxes(boxes),
+        }
+        ref = op(results)
+        ref_l2i = np.stack(ref["lidar2img"])
+        ref_boxes = ref["gt_bboxes_3d"].tensor.numpy()
+
+        imgs = [np.zeros((h, w, 3), np.float32) for _ in range(n)]
+        _, got_l2i, got_boxes, got_s = random_scale_images(
+            imgs, l2i.copy(), boxes.copy(),
+            np.random.default_rng(0), scales=(s,))
+        assert got_s == s
+        np.testing.assert_allclose(got_l2i, ref_l2i, rtol=1e-12)
+        np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-6)
+
+
+def test_horizontal_flip_divergence_from_reference_is_the_fix():
+    """Documented divergence (ADVICE r1): our flip composes the full image
+    x-mirror, so a flipped 3D point projects exactly to the mirror of its
+    original pixel; the reference's cx-only mirror does not (off-axis
+    points land elsewhere).  This test pins down both facts."""
+    from transcar_tpu.data.pipeline import horizontal_flip
+
+    t3d = refsrc.load_ref_module(
+        "projects/mmdet3d_plugin/datasets/pipelines/transform_3d.py",
+        "ref_transform_3d")
+    rng = np.random.default_rng(12)
+    n, h, w = 2, 92, 160
+    l2i = _rand_lidar2img(rng, n, h, w)
+    # decompose into intrinsic/extrinsic for the reference op
+    intr = np.stack([np.array([[w * 0.7, 0, w / 2, 0],
+                               [0, w * 0.7, h / 2, 0],
+                               [0, 0, 1, 0], [0, 0, 0, 1]])] * n)
+    l2c = np.stack([np.linalg.inv(intr[i]) @ l2i[i] for i in range(n)])
+
+    def project(m, p):
+        q = m @ np.array([*p, 1.0])
+        return q[:2] / q[2]
+
+    pt = np.array([5.0, 3.0, 0.5])          # off-axis lidar point
+    pt_flip = pt * np.array([1, -1, 1])     # lidar y-mirror of the point
+
+    imgs = [np.zeros((h, w, 3), np.float32) for _ in range(n)]
+    _, ours_l2i, _ = horizontal_flip(imgs, l2i.copy(),
+                                     np.zeros((0, 9), np.float32))
+
+    results = {
+        "img": [np.zeros((h, w, 3), np.float32) for _ in range(n)],
+        "img_shape": [(h, w, 3)] * n,
+        "lidar2img": [l2i[i].copy() for i in range(n)],
+        "lidar2cam": [l2c[i].copy() for i in range(n)],
+        "cam_intrinsic": [intr[i].copy() for i in range(n)],
+    }
+    op = t3d.HorizontalRandomFlipMultiViewImage()
+    ref = op.flip_cam_params(results)
+
+    for i in range(n):
+        u0, v0 = project(l2i[i], pt)
+        if not (0 < u0 < w):
+            continue
+        u_ours, v_ours = project(ours_l2i[i], pt_flip)
+        # ours: exact mirror of the original pixel
+        np.testing.assert_allclose([u_ours, v_ours], [w - u0, v0],
+                                   rtol=1e-5)
+        # reference: provably NOT the mirror for off-axis points
+        u_ref, _ = project(np.asarray(ref["lidar2img"][i]), pt_flip)
+        assert abs(u_ref - (w - u0)) > 1e-3

@@ -48,6 +48,13 @@ class BackboneConfig:
     compute_dtype: Optional[str] = "bfloat16"   # backbone compute dtype
                                      # (the @auto_fp16 analog, detr3d.py:68);
                                      # None = inherit input dtype
+    dcn_impl: str = "auto"           # "auto" | "exact" | "pallas": DCNv2
+                                     # sampling path.  "auto" → the fused
+                                     # Pallas kernel (ops/pallas_dcn.py) for
+                                     # inference on TPU, the autodiff-able
+                                     # exact XLA gather otherwise
+    dcn_band_rows: int = 16          # pallas row band: exact for vertical
+                                     # offsets |Δy| ≤ (band−4)/2 px
 
 
 @dataclass(frozen=True)

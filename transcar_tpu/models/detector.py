@@ -26,13 +26,15 @@ from transcar_tpu.models.vovnet import VoVNet
 
 class TransCARDetector(nn.Module):
     cfg: ModelConfig
+    dcn_impl: str = "exact"   # resolved by build_model (never "auto" here)
 
     def setup(self):
         bc = self.cfg.backbone
         if bc.kind in ("resnet101", "resnet50"):
             self.backbone = ResNet(
                 depth=int(bc.kind[6:]), with_dcn=bc.with_dcn,
-                compute_dtype=bc.compute_dtype, name="backbone")
+                compute_dtype=bc.compute_dtype, dcn_impl=self.dcn_impl,
+                dcn_band_rows=bc.dcn_band_rows, name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
                 compute_dtype=bc.compute_dtype, name="backbone")
@@ -95,9 +97,23 @@ class TransCARDetector(nn.Module):
                          deterministic=True)
 
 
-def build_model(cfg: TransCARConfig):
+def resolve_dcn_impl(cfg: TransCARConfig, training: bool = False) -> str:
+    """Resolve BackboneConfig.dcn_impl="auto": the fused Pallas kernel
+    (forward-only, ops/pallas_dcn.py) serves TPU inference; training and
+    CPU meshes keep the autodiff-able exact XLA gather."""
+    impl = cfg.model.backbone.dcn_impl
+    if impl != "auto":
+        return impl
+    import jax
+
+    return ("pallas" if (not training
+                         and jax.default_backend() == "tpu") else "exact")
+
+
+def build_model(cfg: TransCARConfig, training: bool = False):
     """Camera/fusion presets → TransCARDetector; ``lidar_encoder`` presets
-    (objdgcnn_{pillar,voxel}) → ObjDGCNN."""
+    (objdgcnn_{pillar,voxel}) → ObjDGCNN.  ``training`` selects the
+    autodiff-able DCN path (see :func:`resolve_dcn_impl`)."""
     m = cfg.model
     if m.lidar_encoder:
         from transcar_tpu.models.dgcnn import ObjDGCNN
@@ -106,4 +122,4 @@ def build_model(cfg: TransCARConfig):
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape)
-    return TransCARDetector(m)
+    return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training))

@@ -40,6 +40,8 @@ class DCNConv(nn.Module):
     in_features: int
     features: int
     stride: int = 1
+    impl: str = "exact"        # "exact" (autodiff-able XLA gather) |
+    band_rows: int = 16        # "pallas" (fused inference kernel)
 
     @nn.compact
     def __call__(self, x):
@@ -55,6 +57,10 @@ class DCNConv(nn.Module):
         weight = self.param(
             "weight", nn.initializers.he_normal(),
             (3, 3, self.in_features, self.features))
+        if self.impl == "pallas" and self.stride == 1:
+            from transcar_tpu.ops.pallas_dcn import fused_deform_conv
+            return fused_deform_conv(x, om, weight,
+                                     band_rows=self.band_rows)
         fn = lambda xi, omi: modulated_deform_conv(
             xi, omi, weight, stride=self.stride, padding=1)
         return jax.vmap(fn)(x, om)
@@ -67,6 +73,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     with_dcn: bool = False
+    dcn_impl: str = "exact"
+    dcn_band_rows: int = 16
 
     @nn.compact
     def __call__(self, x):
@@ -74,7 +82,8 @@ class Bottleneck(nn.Module):
         out = ConvBN(self.planes, kernel=1, stride=self.stride, relu=True,
                      dtype=x.dtype, name="conv1")(x)
         if self.with_dcn:
-            out = DCNConv(self.planes, self.planes, name="conv2")(out)
+            out = DCNConv(self.planes, self.planes, impl=self.dcn_impl,
+                          band_rows=self.dcn_band_rows, name="conv2")(out)
             out = FrozenBN(self.planes, name="bn2")(out)
             out = nn.relu(out)
         else:
@@ -97,6 +106,8 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     compute_dtype: Optional[str] = "bfloat16"
     remat: bool = True   # rematerialize blocks on backward (HBM for FLOPs)
+    dcn_impl: str = "exact"      # "exact" | "pallas" (see models docstring)
+    dcn_band_rows: int = 16
 
     @nn.compact
     def __call__(self, x):
@@ -119,6 +130,8 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
                     with_dcn=self.with_dcn[stage],
+                    dcn_impl=self.dcn_impl,
+                    dcn_band_rows=self.dcn_band_rows,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:

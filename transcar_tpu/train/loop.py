@@ -95,7 +95,7 @@ def train(cfg: TransCARConfig,
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
 
-    model = build_model(cfg)
+    model = build_model(cfg, training=True)
     sample_batch = next(iter(loader.epoch(0)))
     state, tx = init_state(cfg, model, sample_batch, total_steps,
                            jax.random.PRNGKey(cfg.train.seed))
