@@ -61,21 +61,18 @@ def _kernel(x_ref, omp_ref, w_ref, o_ref, *, hp, w, cin, cout, band,
     # one shared band per chunk, centered on the middle row
     s = jnp.clip(r0 + (rows - 1) // 2 - (band - 4) // 2 - 1, 0, hp - band)
 
-    omp = omp_ref[0, 0].astype(jnp.float32)
-    dy, dx = omp[:, 0:1], omp[:, 1:2]
-    mk = jax.nn.sigmoid(omp[:, 2:3])
-
-    pp = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    rr = pp // (w * 9)
-    kk = (pp // w) % 9                              # k-major per row
-    qq = pp % w
-    py = (r0 + rr).astype(jnp.float32) \
-        + (kk // 3 - 1).astype(jnp.float32) + dy
-    px = qq.astype(jnp.float32) + (kk % 3 - 1).astype(jnp.float32) + dx
-    y0f, x0f = jnp.floor(py), jnp.floor(px)
-    fy, fx = py - y0f, px - x0f
-    y0r = y0f.astype(jnp.int32) - s                 # band-relative
-    x0 = x0f.astype(jnp.int32)
+    # per-p quantities are PRECOMPUTED outside (floor/sigmoid/tap-index
+    # arithmetic is row-independent because floor(r + ky + dy) =
+    # r + ky + floor(dy) for integer r): lane 0 = absolute y0, 1 = fy,
+    # 2 = absolute x0, 3 = fx, 4 = σ(mask).  The kernel only builds the
+    # two one-hots — in-kernel [m, 1]-column chains ran at 1/128 lane
+    # utilization and dominated the ablated assembly cost.
+    omp = omp_ref[0, 0]
+    y0r = omp[:, 0:1].astype(jnp.int32) - s         # band-relative
+    fy = omp[:, 1:2]
+    x0 = omp[:, 2:3].astype(jnp.int32)
+    fx = omp[:, 3:4]
+    mk = omp[:, 4:5]
 
     jj = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1)
     wx = (jnp.where(jj == x0, 1.0 - fx, 0.0)
@@ -140,12 +137,23 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     xt = xt.reshape(n, w, hp * cin)
 
     om = offset_mask.astype(jnp.float32)
-    # per-p (k-major) offset columns: [N, H, W, 9, 4] → [N, H, 9, W, 4]
-    omp = jnp.stack([om[..., 0:18:2], om[..., 1:18:2], om[..., 18:27],
-                     jnp.zeros_like(om[..., 18:27])], axis=-1)
-    omp = omp.transpose(0, 1, 3, 2, 4).reshape(n, h, 9 * w, 4)
+    dy = om[..., 0:18:2]                            # [N, H, W, 9]
+    dx = om[..., 1:18:2]
+    mk = jax.nn.sigmoid(om[..., 18:27])
+    ky = (jnp.arange(9) // 3 - 1).astype(jnp.float32)
+    kx = (jnp.arange(9) % 3 - 1).astype(jnp.float32)
+    py = dy + ky                                    # row-relative
+    px = dx + kx + jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    y0f, x0f = jnp.floor(py), jnp.floor(px)
+    y0_abs = y0f + jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    # per-p (k-major) precomputed columns: lane 0=y0, 1=fy, 2=x0, 3=fx,
+    # 4=σ(mask) — see _kernel
+    omp = jnp.stack([y0_abs, py - y0f, x0f, px - x0f, mk,
+                     jnp.zeros_like(mk), jnp.zeros_like(mk),
+                     jnp.zeros_like(mk)], axis=-1)  # [N, H, W, 9, 8]
+    omp = omp.transpose(0, 1, 3, 2, 4).reshape(n, h, 9 * w, 8)
     omp = jnp.pad(omp, ((0, 0), (0, hr - h), (0, 0), (0, 0)))
-    omp = omp.reshape(n, hr // rows, rows * 9 * w, 4)
+    omp = omp.reshape(n, hr // rows, rows * 9 * w, 8)
 
     w9 = weight.reshape(9, cin, cout).astype(x.dtype)
 
@@ -156,7 +164,7 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows * 9 * w, 4),
+            pl.BlockSpec((1, 1, rows * 9 * w, 8),
                          lambda ni, r: (ni, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, cout), lambda ni, r: (0, 0, 0),
