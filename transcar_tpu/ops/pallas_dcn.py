@@ -175,8 +175,11 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hr // rows, rows, w, cout),
                                        x.dtype),
+        # the kernel peaks ~30 MB (xr [9W, B·C] fp32 dominates); leave the
+        # rest of VMEM to the surrounding XLA program — a 100 MB limit
+        # plus XLA's own VMEM working set faulted the chip at batch 2
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt, omp, w9)
     out = out.reshape(n, hr, w, cout)[:, :h]
