@@ -84,3 +84,30 @@ def test_dcn_batched_vmap():
     out = jax.vmap(lambda a, b: modulated_deform_conv(
         a, b, jnp.asarray(weight)))(jnp.asarray(x), jnp.asarray(om))
     assert out.shape == (2, 6, 6, 4)
+
+
+def test_resnet_pallas_dcn_matches_exact_at_model_level():
+    """ResNet with dcn_impl='pallas' (interpret mode on CPU) produces the
+    same features as the exact path with identical params — validates the
+    full model-level wiring of the fused kernel, not just the op."""
+    import jax
+    from transcar_tpu.models.resnet import ResNet
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 64, 96, 3)).astype(np.float32)
+    kw = dict(depth=50, with_dcn=(False, False, True, True),
+              compute_dtype=None, remat=False)
+    exact = ResNet(dcn_impl="exact", **kw)
+    params = exact.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # perturb offset convs so offsets are nonzero
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.02 * np.random.default_rng(1).normal(
+            size=a.shape).astype(a.dtype), params)
+    ref = exact.apply(params, jnp.asarray(x))
+
+    pallas = ResNet(dcn_impl="pallas", dcn_band_rows=16,
+                    dcn_interpret=True, **kw)
+    got = pallas.apply(params, jnp.asarray(x))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)

@@ -42,6 +42,7 @@ class DCNConv(nn.Module):
     stride: int = 1
     impl: str = "exact"        # "exact" (autodiff-able XLA gather) |
     band_rows: int = 16        # "pallas" (fused inference kernel)
+    interpret: bool = False    # pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +61,8 @@ class DCNConv(nn.Module):
         if self.impl == "pallas" and self.stride == 1:
             from transcar_tpu.ops.pallas_dcn import fused_deform_conv
             return fused_deform_conv(x, om, weight,
-                                     band_rows=self.band_rows)
+                                     band_rows=self.band_rows,
+                                     interpret=self.interpret)
         fn = lambda xi, omi: modulated_deform_conv(
             xi, omi, weight, stride=self.stride, padding=1)
         return jax.vmap(fn)(x, om)
@@ -75,6 +77,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     dcn_impl: str = "exact"
     dcn_band_rows: int = 16
+    dcn_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,7 +86,8 @@ class Bottleneck(nn.Module):
                      dtype=x.dtype, name="conv1")(x)
         if self.with_dcn:
             out = DCNConv(self.planes, self.planes, impl=self.dcn_impl,
-                          band_rows=self.dcn_band_rows, name="conv2")(out)
+                          band_rows=self.dcn_band_rows,
+                          interpret=self.dcn_interpret, name="conv2")(out)
             out = FrozenBN(self.planes, name="bn2")(out)
             out = nn.relu(out)
         else:
@@ -108,6 +112,7 @@ class ResNet(nn.Module):
     remat: bool = True   # rematerialize blocks on backward (HBM for FLOPs)
     dcn_impl: str = "exact"      # "exact" | "pallas" (see models docstring)
     dcn_band_rows: int = 16
+    dcn_interpret: bool = False  # pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x):
@@ -132,6 +137,7 @@ class ResNet(nn.Module):
                     with_dcn=self.with_dcn[stage],
                     dcn_impl=self.dcn_impl,
                     dcn_band_rows=self.dcn_band_rows,
+                    dcn_interpret=self.dcn_interpret,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:
