@@ -49,6 +49,7 @@ def test_train_publish_test_cli_journey(tmp_path, capsys):
     from transcar_tpu.cli.test import main as test_main
     results = str(tmp_path / "results.json")
     test_main(["detr3d_r101", published[0], "--format-only",
+               "--fuse-conv-bn",
                "--out", results, "--max-samples", "2", "--cfg-options",
                f"data.data_root={root}", *OVERRIDES])
     with open(results) as f:

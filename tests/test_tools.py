@@ -65,3 +65,26 @@ def test_config_overrides_and_presets():
                        "data.img_hw": [256, 704]})
     assert cfg2.model.head.num_query == 300
     assert cfg2.data.img_hw == (256, 704)
+
+
+def test_train_cli_autoscale_lr(tmp_path, monkeypatch, capsys):
+    """--autoscale-lr applies the linear scaling rule against the
+    reference's 8-GPU schedule (tools/train.py:148-150)."""
+    import jax
+
+    from transcar_tpu.cli import train as train_cli
+
+    captured = {}
+
+    def fake_train(cfg, radar_fn=None, max_steps=None):
+        captured["lr"] = cfg.train.optim.lr
+        return None
+
+    import transcar_tpu.train.loop as loop
+    monkeypatch.setattr(loop, "train", fake_train)
+    from transcar_tpu.core.config import get_preset
+    base_lr = get_preset("detr3d_r101").train.optim.lr
+    train_cli.main(["detr3d_r101", "--work-dir", str(tmp_path),
+                    "--autoscale-lr", "--max-steps", "1"])
+    expected = base_lr * jax.device_count() / 8.0
+    assert abs(captured["lr"] - expected) < 1e-12

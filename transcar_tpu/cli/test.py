@@ -23,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--eval", dest="eval_metric")
     ap.add_argument("--out")
     ap.add_argument("--max-samples", type=int)
+    ap.add_argument("--fuse-conv-bn", action="store_true",
+                    help="precompute frozen-BN affines before inference "
+                         "(tools/test.py:27-30 analog; XLA fuses these at "
+                         "compile time anyway — provided for parity)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -58,6 +62,9 @@ def main(argv=None):
             lambda: model.init(jax.random.PRNGKey(0), images, l2i, radar)
         )["params"]
     params = _load_params(args.checkpoint, cfg, template)
+    if args.fuse_conv_bn:
+        from transcar_tpu.train.fold import fold_frozen_bn
+        params = fold_frozen_bn(params)
 
     radar_fn = (_try_radar_fn(cfg)
                 if cfg.model.head.with_radar_fusion else None)

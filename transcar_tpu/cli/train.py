@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--resume-from")
     ap.add_argument("--seed", type=int)
     ap.add_argument("--max-steps", type=int)
+    ap.add_argument("--autoscale-lr", action="store_true",
+                    help="linear LR scaling by device count / 8 "
+                         "(tools/train.py:148-150; arXiv:1706.02677)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -61,6 +64,20 @@ def main(argv=None):
     if args.seed is not None:
         overrides["train.seed"] = args.seed
     cfg = get_preset(args.preset, overrides)
+    if args.autoscale_lr:
+        # linear scaling rule against the reference's 8-GPU schedule
+        # (tools/train.py:148-150); device count = the global data mesh
+        import dataclasses
+
+        import jax
+
+        scale = jax.device_count() / 8.0
+        optim = dataclasses.replace(cfg.train.optim,
+                                    lr=cfg.train.optim.lr * scale)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, optim=optim))
+        print(f"autoscale-lr: {jax.device_count()} devices → "
+              f"lr {optim.lr:.2e}")
 
     radar_fn = None
     if cfg.model.head.with_radar_fusion:
