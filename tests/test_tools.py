@@ -88,3 +88,44 @@ def test_train_cli_autoscale_lr(tmp_path, monkeypatch, capsys):
                     "--autoscale-lr", "--max-steps", "1"])
     expected = base_lr * jax.device_count() / 8.0
     assert abs(captured["lr"] - expected) < 1e-12
+
+
+def test_bev_render_writes_pngs(tmp_path):
+    """render_submission draws box plots from a submission json (the
+    headless --show-dir analog of tools/test.py:43-45)."""
+    import json
+    import os
+
+    from transcar_tpu.eval.bev_plot import render_submission
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for t in ("tok_a", "tok_b"):
+        annos = []
+        for _ in range(6):
+            yaw = float(rng.uniform(-np.pi, np.pi))
+            annos.append({
+                "sample_token": t,
+                "translation": [float(rng.uniform(600, 640)),
+                                float(rng.uniform(1600, 1640)), 0.5],
+                "size": [2.0, 4.5, 1.6],
+                "rotation": [float(np.cos(yaw / 2)), 0, 0,
+                             float(np.sin(yaw / 2))],
+                "velocity": [1.0, 0.3],
+                "detection_name": "car",
+                "detection_score": float(rng.uniform(0.2, 0.9)),
+                "attribute_name": "",
+            })
+        results[t] = annos
+    sub = tmp_path / "results_nusc.json"
+    sub.write_text(json.dumps({"meta": {}, "results": results}))
+
+    out = render_submission(str(sub), str(tmp_path / "viz"),
+                            score_thr=0.3)
+    assert len(out) == 2
+    for p in out:
+        assert os.path.getsize(p) > 5000      # a real figure, not a stub
+
+    from transcar_tpu.cli.visualize_results import main as viz_main
+    viz_main([str(sub), "--save-dir", str(tmp_path / "viz2"), "--num", "1"])
+    assert len(os.listdir(tmp_path / "viz2")) == 2

@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--eval", dest="eval_metric")
     ap.add_argument("--out")
     ap.add_argument("--max-samples", type=int)
+    ap.add_argument("--show-dir",
+                    help="render BEV PNGs of the predictions into this "
+                         "directory (tools/test.py:43-45 analog, headless)")
     ap.add_argument("--fuse-conv-bn", action="store_true",
                     help="precompute frozen-BN affines before inference "
                          "(tools/test.py:27-30 analog; XLA fuses these at "
@@ -74,6 +77,10 @@ def main(argv=None):
                         max_samples=args.max_samples, out_path=args.out,
                         batch_stats=batch_stats)
     print(f"results written to {out_path}")
+
+    if args.show_dir:
+        from transcar_tpu.eval.bev_plot import render_submission
+        render_submission(out_path, args.show_dir)
 
     if args.eval_metric:
         from transcar_tpu.eval.submission import evaluate_nuscenes

@@ -12,7 +12,14 @@ def main(argv=None):
     ap.add_argument("results_json")
     ap.add_argument("--num", type=int, default=5)
     ap.add_argument("--score-thr", type=float, default=0.3)
+    ap.add_argument("--save-dir",
+                    help="also render BEV PNGs into this directory")
     args = ap.parse_args(argv)
+
+    if args.save_dir:
+        from transcar_tpu.eval.bev_plot import render_submission
+        render_submission(args.results_json, args.save_dir,
+                          score_thr=args.score_thr)
 
     with open(args.results_json) as f:
         sub = json.load(f)
