@@ -186,3 +186,50 @@ def test_eval_step_on_mesh_matches_single_device():
     for k in ("boxes", "scores", "labels", "valid"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fusion_only_training_builds_no_camera_backward():
+    """With freeze_camera training, the grad is cut at the fusion input
+    (the reference's requires_grad=False semantics — torch builds no
+    camera backward either, tools/train.py:238-252): camera-side grads
+    are structurally zero and trainable-param grads are unchanged."""
+    from transcar_tpu.train.loss import detr3d_loss
+    from transcar_tpu.train.step import apply_model
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=16, radar_tokens=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(3)
+    batch = ge._fake_batch(rng, 1, 6, 64, 96, 32, max_gt=4)
+    batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+    variables = model.init(jax.random.PRNGKey(0), batch_j["images"],
+                           batch_j["lidar2img"], batch_j["radar_tokens"])
+    params = variables["params"]
+
+    def loss_fn(p, stop):
+        preds = apply_model(model, p, batch_j, train=True,
+                            rngs={"gridmask": jax.random.PRNGKey(9),
+                                  "dropout": jax.random.PRNGKey(10)},
+                            stop_camera_grad=stop)
+        return detr3d_loss(preds, batch_j["gt_boxes"],
+                           batch_j["gt_labels"], batch_j["num_gt"],
+                           cfg.model.head)["total"]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+
+    # camera-side grads vanish under the stop
+    for sub in ("backbone", "neck"):
+        leaves = jax.tree_util.tree_leaves(g1[sub])
+        assert all(float(jnp.abs(g).max()) == 0.0 for g in leaves), sub
+    # trainable fusion grads are unchanged
+    def fusion_leaves(g):
+        return {k: v for k, v in g["head"].items()
+                if k.startswith(("fusion", "final_cls", "final_reg",
+                                 "radar_"))}
+    f0 = jax.tree_util.tree_leaves(fusion_leaves(g0))
+    f1 = jax.tree_util.tree_leaves(fusion_leaves(g1))
+    assert f1
+    for a, b in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

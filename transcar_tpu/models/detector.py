@@ -52,11 +52,14 @@ class TransCARDetector(nn.Module):
 
     def __call__(self, images: jnp.ndarray, lidar2img: jnp.ndarray,
                  radar_tokens: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False, stop_camera_grad: bool = False):
         """Args:
           images: [B, N, H, W, 3] normalized images (fp32, NHWC).
           lidar2img: [B, N, 4, 4].
           radar_tokens: [B, T, 36] (required when head has radar fusion).
+          stop_camera_grad: fusion-only training — no camera backward is
+            built (the reference's requires_grad=False freeze semantics,
+            tools/train.py:238-252; see models/head.py).
         Returns:
           head output dict (all_cls_scores / all_bbox_preds).
         """
@@ -70,7 +73,8 @@ class TransCARDetector(nn.Module):
             f.reshape(b, n, *f.shape[1:]).astype(jnp.float32) for f in feats
         ]
         return self.head(mlvl, lidar2img, (h, w), radar_tokens,
-                         deterministic=not train)
+                         deterministic=not train,
+                         stop_camera_grad=stop_camera_grad)
 
     def aug_forward(self, images_augs: jnp.ndarray, lidar2img: jnp.ndarray,
                     radar_tokens: Optional[jnp.ndarray] = None):

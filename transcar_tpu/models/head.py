@@ -97,7 +97,8 @@ class TransCARHead(nn.Module):
                 for i in range(c.num_fusion_layers)]
 
     def __call__(self, mlvl_feats, lidar2img, img_hw, radar_tokens=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 stop_camera_grad: bool = False):
         """Args:
           mlvl_feats: list of [B, N, H_l, W_l, E] FPN levels (fp32).
           lidar2img: [B, N, 4, 4].
@@ -105,6 +106,12 @@ class TransCARHead(nn.Module):
           radar_tokens: [B, T, 36] featurized radar (padding rows filled
             with the 500.0 sentinel, data/radar.py) — required when
             cfg.with_radar_fusion.
+          stop_camera_grad: cut the gradient at the fusion input.  The
+            reference trains ONLY the fusion stage (tools/train.py:238-252
+            sets requires_grad=False on the whole camera net, so torch
+            never computes a camera backward); this reproduces that
+            compute shape — the loss/grads of the trainable params are
+            bitwise unchanged, the camera backward is simply not built.
         Returns:
           dict(all_cls_scores [L, B, Q, num_classes],
                all_bbox_preds [L, B, Q, code_size]).
@@ -148,8 +155,12 @@ class TransCARHead(nn.Module):
                 "all_cls_scores": jnp.stack(cam_cls),
                 "all_bbox_preds": jnp.stack(cam_coord),
             }
-        return self.fuse(query, inter_refs[-1], cam_coord[-1], radar_tokens,
-                         deterministic=deterministic)
+        cam_query, cam_coord_last = query, cam_coord[-1]
+        if stop_camera_grad:
+            cam_query = jax.lax.stop_gradient(cam_query)
+            cam_coord_last = jax.lax.stop_gradient(cam_coord_last)
+        return self.fuse(cam_query, inter_refs[-1], cam_coord_last,
+                         radar_tokens, deterministic=deterministic)
 
     def fuse(self, query, ref01, cam_coord_last, radar_tokens,
              deterministic: bool = True):

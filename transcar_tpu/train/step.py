@@ -31,7 +31,7 @@ class TrainState(NamedTuple):
 
 
 def apply_model(model, params, batch, train: bool, rngs=None,
-                batch_stats=None):
+                batch_stats=None, stop_camera_grad: bool = False):
     """Dispatch on batch modality: camera/fusion batches carry ``images``;
     LiDAR (ObjDGCNN) batches carry ``points``/``num_points``.
 
@@ -49,6 +49,7 @@ def apply_model(model, params, batch, train: bool, rngs=None,
     else:
         out = model.apply(var, batch["images"], batch["lidar2img"],
                           batch.get("radar_tokens"), train=train, rngs=rngs,
+                          stop_camera_grad=stop_camera_grad and train,
                           mutable=mutable)
     if mutable:
         preds, new_vars = out
@@ -83,6 +84,13 @@ def make_train_step(cfg: TransCARConfig, model, tx,
     """Build the jitted train step.  ``batch`` leaves are sharded along the
     mesh's data axis; state is replicated."""
 
+    # fusion-only training: the reference freezes the whole camera net
+    # (requires_grad=False ⇒ torch builds no camera backward,
+    # tools/train.py:238-252); cut the grad at the fusion input so XLA
+    # doesn't either — trainable-param grads are unchanged
+    stop_cam = (cfg.train.optim.freeze_camera_branch
+                and cfg.model.head.with_radar_fusion)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -92,7 +100,8 @@ def make_train_step(cfg: TransCARConfig, model, tx,
             out = apply_model(
                 model, params, batch, train=True,
                 rngs={"gridmask": gm_rng, "dropout": do_rng},
-                batch_stats=state.batch_stats)
+                batch_stats=state.batch_stats,
+                stop_camera_grad=stop_cam)
             preds, new_stats = out if bool(state.batch_stats) else (out,
                                                                     {})
             losses = detr3d_loss(
