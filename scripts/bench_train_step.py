@@ -13,14 +13,16 @@ from transcar_tpu.train.step import init_state, make_train_step
 ITERS = 5
 
 
-def run(tag, freeze):
+def run(tag, freeze, dcn_impl="auto"):
     import dataclasses
     cfg = ge._tiny_cfg()
     optim = dataclasses.replace(cfg.train.optim,
                                 freeze_camera_branch=freeze)
-    cfg = dataclasses.replace(cfg,
-                              train=dataclasses.replace(cfg.train,
-                                                        optim=optim))
+    bb = dataclasses.replace(cfg.model.backbone, dcn_impl=dcn_impl)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone=bb),
+        train=dataclasses.replace(cfg.train, optim=optim))
     model = build_model(cfg, training=True)
     rng = np.random.default_rng(0)
     batch = ge._fake_batch(rng, 1, 6, 928, 1600,
@@ -43,8 +45,8 @@ def run(tag, freeze):
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    run("full backward, pallas DCN vjp ", False, dcn_impl="pallas")
     run("fusion-only (stop_camera_grad)", True)
-    run("full backward                 ", False)
 
 
 if __name__ == "__main__":

@@ -86,3 +86,63 @@ def test_fused_out_of_band_taps_vanish():
         band_rows=16, interpret=True))
     # interior rows: every tap out-of-band → output exactly zero
     np.testing.assert_allclose(out[:, 16:20], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# backward (custom VJP) vs the exact path's autodiff
+# ---------------------------------------------------------------------------
+
+from transcar_tpu.ops.pallas_dcn import fused_deform_conv_ad
+
+
+def test_fused_vjp_matches_exact_autodiff():
+    """d_x, d_offset_mask and d_weight from the transposed-one-hot-matmul
+    backward kernel match jax.grad through the exact gather path (within
+    the band, where forward outputs agree)."""
+    rng = np.random.default_rng(9)
+    n, h, w, cin, cout = 2, 24, 10, 8, 12
+    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+    om = np.zeros((n, h, w, 27), np.float32)
+    om[..., 0:18:2] = rng.uniform(-3.0, 3.0, (n, h, w, 9))
+    om[..., 1:18:2] = rng.uniform(-5.0, 5.0, (n, h, w, 9))
+    om[..., 18:] = rng.normal(size=(n, h, w, 9))
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1
+    cot = rng.normal(size=(n, h, w, cout)).astype(np.float32)
+
+    def loss_exact(x, om, wt):
+        out = jax.vmap(lambda a, b: modulated_deform_conv(a, b, wt))(x, om)
+        return jnp.sum(out * cot)
+
+    def loss_fused(x, om, wt):
+        out = fused_deform_conv_ad(x, om, wt, 16, True)
+        return jnp.sum(out * cot)
+
+    args = (jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight))
+    ge = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("d_x", "d_offset_mask", "d_weight"), ge, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_vjp_out_of_band_grads_are_zero():
+    """Taps outside the band contribute zero forward AND backward (the
+    gradient is exactly the gradient of the banded forward)."""
+    rng = np.random.default_rng(10)
+    n, h, w, cin, cout = 1, 40, 8, 4, 4
+    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+    om = np.zeros((n, h, w, 27), np.float32)
+    om[..., 0:18:2] = 21.0         # all taps far out of band
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+
+    def loss(x, om, wt):
+        out = fused_deform_conv_ad(x, om, wt, 16, True)
+        return jnp.sum(out[:, 16:20] ** 2)
+
+    gx, gom, gw = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight))
+    np.testing.assert_allclose(np.asarray(gx), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), 0.0, atol=1e-6)
+    # mask grads vanish too (sampled is zero), offset grads vanish (no
+    # tap in range)
+    np.testing.assert_allclose(np.asarray(gom)[:, 16:20], 0.0, atol=1e-6)

@@ -59,10 +59,9 @@ class DCNConv(nn.Module):
             "weight", nn.initializers.he_normal(),
             (3, 3, self.in_features, self.features))
         if self.impl == "pallas" and self.stride == 1:
-            from transcar_tpu.ops.pallas_dcn import fused_deform_conv
-            return fused_deform_conv(x, om, weight,
-                                     band_rows=self.band_rows,
-                                     interpret=self.interpret)
+            from transcar_tpu.ops.pallas_dcn import fused_deform_conv_ad
+            return fused_deform_conv_ad(x, om, weight, self.band_rows,
+                                        self.interpret)
         fn = lambda xi, omi: modulated_deform_conv(
             xi, omi, weight, stride=self.stride, padding=1)
         return jax.vmap(fn)(x, om)

@@ -186,3 +186,219 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# backward (custom VJP): the transposed one-hot matmuls
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
+                *, hp, w, cin, cout, band):
+    """One (image, output row) backward grid step.
+
+    XLA's autodiff of a gather-based DCN emits index-serialized
+    scatter-adds (measured 36.6 s/step for the full-backbone train step,
+    docs/PERF_NOTES.md); here every contraction is the TRANSPOSE of a
+    forward one-hot matmul, so the whole backward rides the MXU:
+
+      d_sampled = d_out × W9ᵀ            (per-tap dots)
+      d_W9     += sampledᵀ × d_out       (accumulated across the grid)
+      d_xband   = wxᵀ × (wy ⊗ mk·d_sampled)   (the scatter, as a matmul)
+      d_Δx/d_Δy = one-hot-derivative dots; d_mask from the mk-free resample
+
+    dx_ref:   [1, W, H'·C] fp32 — per-image accumulator (index (ni,0,0))
+    dofs_ref: [1, 1, 9W, 4] — lanes 0=d_Δy, 1=d_Δx, 2=d_mk
+    dw_ref:   [9, Cin, Cout] fp32 — whole-grid accumulator (index const)
+    """
+    ni = pl.program_id(0)
+    r = pl.program_id(1)
+    m = w * 9
+    s = jnp.clip(r - (band - 4) // 2 - 1, 0, hp - band)
+
+    @pl.when(jnp.logical_and(ni == 0, r == 0))
+    def _init_dw():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    @pl.when(r == 0)
+    def _init_dx():
+        dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+    omp = omp_ref[0, 0]
+    y0r = omp[:, 0:1].astype(jnp.int32) - s
+    fy = omp[:, 1:2]
+    x0 = omp[:, 2:3].astype(jnp.int32)
+    fx = omp[:, 3:4]
+    mk = omp[:, 4:5]
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1)
+    wx_raw = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+              + jnp.where(jj == x0 + 1, fx, 0.0))          # no mk
+    dwx_raw = (jnp.where(jj == x0 + 1, 1.0, 0.0)
+               - jnp.where(jj == x0, 1.0, 0.0))
+    bb = jax.lax.broadcasted_iota(jnp.int32, (m, band), 1)
+    wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
+          + jnp.where(bb == y0r + 1, fy, 0.0))
+    dwy = (jnp.where(bb == y0r + 1, 1.0, 0.0)
+           - jnp.where(bb == y0r, 1.0, 0.0))
+
+    xband = x_ref[0, :, pl.ds(pl.multiple_of(s * cin, cin), band * cin)]
+    xr_raw = jax.lax.dot_general(                          # [9W, B·C]
+        wx_raw.astype(x_ref.dtype), xband,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xr_dx_raw = jax.lax.dot_general(
+        dwx_raw.astype(x_ref.dtype), xband,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # recomputed mk-free resample + reductions against d_sampled
+    do = do_ref[0, 0].astype(jnp.float32)                  # [W, Cout]
+    d_samp = jnp.concatenate([
+        jax.lax.dot_general(do, w_ref[k].astype(jnp.float32),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for k in range(9)], axis=0)                        # [9W, C]
+
+    sampled_nomk = jnp.zeros((m, cin), jnp.float32)
+    d_fy = jnp.zeros((m, 1), jnp.float32)
+    d_fx = jnp.zeros((m, 1), jnp.float32)
+    for b in range(band):
+        xr_b = xr_raw[:, b * cin:(b + 1) * cin]
+        sampled_nomk = sampled_nomk + wy[:, b:b + 1] * xr_b
+        rc = jnp.sum(xr_b * d_samp, axis=1, keepdims=True)
+        d_fy = d_fy + dwy[:, b:b + 1] * rc
+        rc_dx = jnp.sum(xr_dx_raw[:, b * cin:(b + 1) * cin] * d_samp,
+                        axis=1, keepdims=True)
+        d_fx = d_fx + wy[:, b:b + 1] * rc_dx
+    d_mk = jnp.sum(sampled_nomk * d_samp, axis=1, keepdims=True)
+    zeros = jnp.zeros((m, 1), jnp.float32)
+    dofs_ref[0, 0] = jnp.concatenate(
+        [mk * d_fy, mk * d_fx, d_mk, zeros], axis=1)
+
+    # d_W accumulation: sampled = mk ⊙ sampled_nomk, per-tap blocks
+    sampled = (mk * sampled_nomk).astype(jnp.float32)
+    for k in range(9):
+        dw_ref[k] += jax.lax.dot_general(
+            sampled[k * w:(k + 1) * w, :], do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # the scatter, as a matmul: d_xband = wx_rawᵀ × (wy ⊗ mk·d_samp)
+    d_samp_m = mk * d_samp
+    d_xr = jnp.concatenate(
+        [wy[:, b:b + 1] * d_samp_m for b in range(band)],
+        axis=1)                                            # [9W, B·C]
+    d_xband = jax.lax.dot_general(
+        wx_raw.astype(jnp.float32), d_xr,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [W, B·C]
+    sl = pl.ds(pl.multiple_of(s * cin, cin), band * cin)
+    dx_ref[0, :, sl] += d_xband
+
+
+def _omp_precompute(offset_mask, n, h, w):
+    om = offset_mask.astype(jnp.float32)
+    dy = om[..., 0:18:2]
+    dx = om[..., 1:18:2]
+    mk = jax.nn.sigmoid(om[..., 18:27])
+    ky = (jnp.arange(9) // 3 - 1).astype(jnp.float32)
+    kx = (jnp.arange(9) % 3 - 1).astype(jnp.float32)
+    py = dy + ky
+    px = dx + kx + jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    y0f, x0f = jnp.floor(py), jnp.floor(px)
+    y0_abs = y0f + jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    omp = jnp.stack([y0_abs, py - y0f, x0f, px - x0f, mk,
+                     jnp.zeros_like(mk), jnp.zeros_like(mk),
+                     jnp.zeros_like(mk)], axis=-1)
+    return omp.transpose(0, 1, 3, 2, 4).reshape(n, h, 9 * w, 8)
+
+
+def _fused_dcn_bwd_impl(x, offset_mask, weight, d_out, band_rows,
+                        interpret):
+    n, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    band = min(band_rows, max(h, band_rows))
+    hp = max(h, band)
+
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    xt = xt.reshape(n, w, hp * cin)
+    omp = _omp_precompute(offset_mask, n, h, w)
+    w9 = weight.reshape(9, cin, cout).astype(x.dtype)
+
+    d_xt, d_ofs, d_w9 = pl.pallas_call(
+        functools.partial(_bwd_kernel, hp=hp, w=w, cin=cin, cout=cout,
+                          band=band),
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9 * w, 8), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda ni, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, cout), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9 * w, 4), lambda ni, r: (ni, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda ni, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, w, hp * cin), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, 9 * w, 4), jnp.float32),
+            jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, omp, w9, d_out)
+
+    # [N, W, H'·C] → [N, H, W, C]
+    d_x = d_xt.reshape(n, w, hp, cin).transpose(0, 2, 1, 3)[:, :h]
+    d_x = d_x.astype(x.dtype)
+
+    # per-p (k-major) grads → offset_mask layout [N, H, W, 27]
+    g = d_ofs.reshape(n, h, 9, w, 4).transpose(0, 1, 3, 2, 4)
+    om = offset_mask.astype(jnp.float32)
+    sig = jax.nn.sigmoid(om[..., 18:27])
+    d_om = jnp.zeros((n, h, w, 27), jnp.float32)
+    d_om = d_om.at[..., 0:18:2].set(g[..., 0])             # d_Δy
+    d_om = d_om.at[..., 1:18:2].set(g[..., 1])             # d_Δx
+    d_om = d_om.at[..., 18:27].set(g[..., 2] * sig * (1 - sig))
+    d_om = d_om.astype(offset_mask.dtype)
+
+    d_w = d_w9.reshape(3, 3, cin, cout).astype(weight.dtype)
+    return d_x, d_om, d_w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_deform_conv_ad(x, offset_mask, weight, band_rows=16,
+                         interpret=False):
+    """Differentiable fused DCNv2 (no bias): forward is
+    :func:`fused_deform_conv`; backward is the transposed-one-hot-matmul
+    Pallas kernel above.  Gradients are the exact gradients of the
+    banded forward (taps with |Δy| beyond the band contribute zero in
+    both directions), validated against the exact path's autodiff in
+    tests/test_pallas_dcn.py."""
+    return fused_deform_conv(x, offset_mask, weight, None,
+                             band_rows=band_rows, interpret=interpret)
+
+
+def _fused_ad_fwd(x, offset_mask, weight, band_rows, interpret):
+    out = fused_deform_conv(x, offset_mask, weight, None,
+                            band_rows=band_rows, interpret=interpret)
+    return out, (x, offset_mask, weight)
+
+
+def _fused_ad_bwd(band_rows, interpret, res, d_out):
+    x, offset_mask, weight = res
+    return _fused_dcn_bwd_impl(x, offset_mask, weight,
+                               d_out.astype(x.dtype), band_rows, interpret)
+
+
+fused_deform_conv_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
