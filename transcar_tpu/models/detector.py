@@ -103,15 +103,17 @@ class TransCARDetector(nn.Module):
 
 def resolve_dcn_impl(cfg: TransCARConfig, training: bool = False) -> str:
     """Resolve BackboneConfig.dcn_impl="auto": the fused Pallas kernel
-    (forward-only, ops/pallas_dcn.py) serves TPU inference; training and
-    CPU meshes keep the autodiff-able exact XLA gather."""
+    (ops/pallas_dcn.py; custom-VJP backward, so it serves training too —
+    full-backbone step 642 ms vs 36.6 s with XLA's scatter backward, and
+    identical loss at matched inputs) on TPU; CPU meshes keep the exact
+    XLA gather.  ``dcn_impl="exact"`` opts out."""
     impl = cfg.model.backbone.dcn_impl
     if impl != "auto":
         return impl
     import jax
 
-    return ("pallas" if (not training
-                         and jax.default_backend() == "tpu") else "exact")
+    del training  # the kernel differentiates; same resolution either way
+    return "pallas" if jax.default_backend() == "tpu" else "exact"
 
 
 def build_model(cfg: TransCARConfig, training: bool = False):
