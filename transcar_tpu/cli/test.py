@@ -73,9 +73,19 @@ def main(argv=None):
                 if cfg.model.head.with_radar_fusion else None)
     from transcar_tpu.train.checkpoint import load_batch_stats
     batch_stats = load_batch_stats(args.checkpoint) or None
+    if cfg.model.lidar_encoder and batch_stats is None:
+        ap.error(
+            f"checkpoint {args.checkpoint!r} carries no batch_stats, but "
+            f"the LiDAR track's BatchNorms need running statistics for "
+            f"inference — evaluate from a training checkpoint dir (the "
+            f"step dirs under work_dir/checkpoints save them)")
     out_path = evaluate(cfg, params, radar_fn=radar_fn,
                         max_samples=args.max_samples, out_path=args.out,
                         batch_stats=batch_stats)
+    # only rank 0 writes the submission (train/loop.py evaluate);
+    # post-processing of the file is rank-0 work too
+    if jax.process_index() != 0:
+        return
     print(f"results written to {out_path}")
 
     if args.show_dir:

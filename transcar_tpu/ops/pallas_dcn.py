@@ -126,8 +126,8 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     """
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    band = min(band_rows, max(h, band_rows))
-    hp = max(h, band)
+    band = band_rows
+    hp = max(h, band)       # pad small images up to one full band
     rows = rows_per_step
     hr = -(-h // rows) * rows
 
@@ -136,22 +136,9 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     xt = jnp.pad(xt, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
     xt = xt.reshape(n, w, hp * cin)
 
-    om = offset_mask.astype(jnp.float32)
-    dy = om[..., 0:18:2]                            # [N, H, W, 9]
-    dx = om[..., 1:18:2]
-    mk = jax.nn.sigmoid(om[..., 18:27])
-    ky = (jnp.arange(9) // 3 - 1).astype(jnp.float32)
-    kx = (jnp.arange(9) % 3 - 1).astype(jnp.float32)
-    py = dy + ky                                    # row-relative
-    px = dx + kx + jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
-    y0f, x0f = jnp.floor(py), jnp.floor(px)
-    y0_abs = y0f + jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
     # per-p (k-major) precomputed columns: lane 0=y0, 1=fy, 2=x0, 3=fx,
-    # 4=σ(mask) — see _kernel
-    omp = jnp.stack([y0_abs, py - y0f, x0f, px - x0f, mk,
-                     jnp.zeros_like(mk), jnp.zeros_like(mk),
-                     jnp.zeros_like(mk)], axis=-1)  # [N, H, W, 9, 8]
-    omp = omp.transpose(0, 1, 3, 2, 4).reshape(n, h, 9 * w, 8)
+    # 4=σ(mask) — see _kernel (shared with the backward)
+    omp = _omp_precompute(offset_mask, n, h, w)
     omp = jnp.pad(omp, ((0, 0), (0, hr - h), (0, 0), (0, 0)))
     omp = omp.reshape(n, hr // rows, rows * 9 * w, 8)
 
@@ -317,7 +304,7 @@ def _fused_dcn_bwd_impl(x, offset_mask, weight, d_out, band_rows,
                         interpret):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    band = min(band_rows, max(h, band_rows))
+    band = band_rows
     hp = max(h, band)
 
     xt = jnp.transpose(x, (0, 2, 1, 3))

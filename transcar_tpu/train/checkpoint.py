@@ -83,12 +83,39 @@ def load_params_only(path: str, params_template=None):
     training checkpoint step dir from save_checkpoint (``.../checkpoints/N``
     — the reference's tools/test.py takes a training checkpoint directly,
     so the eval CLI must too); for the latter the params subtree of the
-    saved TrainState is extracted."""
+    saved TrainState is extracted.  With ``params_template`` the restored
+    tree is validated against the model's structure (clear error instead
+    of a late jit failure) and leaves are cast to the template dtypes."""
     path = os.path.abspath(path)
     state_dir = os.path.join(path, "state")
     if os.path.isdir(state_dir):    # CheckpointManager composite step dir
-        return _restore_numpy_tree(state_dir)["params"]
-    return _restore_numpy_tree(path)
+        params = _restore_numpy_tree(state_dir)["params"]
+    else:
+        params = _restore_numpy_tree(path)
+    if params_template is not None:
+        import jax
+
+        t_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                   jax.tree_util.tree_flatten_with_path(
+                       params_template)[0]}
+        p_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        p_paths = {jax.tree_util.keystr(p): v.shape for p, v in p_flat}
+        missing = sorted(set(t_paths) - set(p_paths))
+        extra = sorted(set(p_paths) - set(t_paths))
+        bad_shape = sorted(k for k in t_paths.keys() & p_paths.keys()
+                           if tuple(t_paths[k]) != tuple(p_paths[k]))
+        if missing or extra or bad_shape:
+            raise ValueError(
+                f"checkpoint {path!r} does not match the model: "
+                f"missing={missing[:5]} extra={extra[:5]} "
+                f"shape-mismatch={bad_shape[:5]} "
+                f"(counts: {len(missing)}/{len(extra)}/{len(bad_shape)})")
+        import numpy as np
+
+        params = jax.tree_util.tree_map(
+            lambda t, v: np.asarray(v, dtype=t.dtype), params_template,
+            params)
+    return params
 
 
 def load_batch_stats(path: str):

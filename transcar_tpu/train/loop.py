@@ -80,7 +80,14 @@ def train(cfg: TransCARConfig,
     indices = cbgs_indices(dataset) if cfg.data.use_cbgs else None
 
     devices = jax.devices()      # global device set under jax.distributed
-    mesh_n = min(int(np.prod(cfg.train.mesh_shape)), len(devices))
+    if pc > 1:
+        # multi-host: the mesh MUST span every host's devices — a mesh
+        # over a prefix would leave other processes with no addressable
+        # shard of the global arrays (DDP analog: one group over all
+        # ranks).  mesh_shape stays a single-host knob.
+        mesh_n = len(devices)
+    else:
+        mesh_n = min(int(np.prod(cfg.train.mesh_shape)), len(devices))
     mesh = make_mesh((mesh_n,), ("data",), devices[:mesh_n])
     batch_size = cfg.data.samples_per_device * mesh_n
 
@@ -206,7 +213,7 @@ def evaluate(cfg: TransCARConfig, params,
         local["sample_idx"].append(np.int32(my_indices[idx]))
     n_local = len(local["sample_idx"])
     stacked = {k: np.stack(v) if n_local else np.zeros(
-        (0,) + _eval_leaf_shape(k, cfg), np.float32)
+        (0,) + _eval_leaf_shape(k, cfg), _eval_leaf_dtype(k))
         for k, v in local.items()}
     gathered, _ = allgather_eval_outputs(stacked, n_local)
 
@@ -228,6 +235,14 @@ def _eval_leaf_shape(key: str, cfg: TransCARConfig):
     k = cfg.model.head.max_detections
     return {"boxes": (k, 9), "scores": (k,), "labels": (k,),
             "valid": (k,), "sample_idx": ()}[key]
+
+
+def _eval_leaf_dtype(key: str):
+    # zero-sample ranks must agree with contributing ranks on dtype or
+    # the cross-process allgather programs mismatch
+    return {"boxes": np.float32, "scores": np.float32,
+            "labels": np.int32, "valid": bool,
+            "sample_idx": np.int32}[key]
 
 
 def _merge_over_template(template, loaded, _prefix="", _filled=None):
