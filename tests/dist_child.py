@@ -60,5 +60,54 @@ def main():
     print(f"dist child {pi}/{pc} OK", flush=True)
 
 
+
+
+def main_train():
+    """2-process FULL train(): exercises the pc>1 global-mesh branch,
+    per-process loader slicing and rank-0 logging end-to-end."""
+    import jax
+
+    from transcar_tpu.core.config import (BackboneConfig, DataConfig,
+                                          HeadConfig, ModelConfig,
+                                          OptimConfig, TrainConfig,
+                                          TransCARConfig)
+    from transcar_tpu.parallel.distributed import (
+        maybe_initialize_distributed)
+
+    pi, pc = maybe_initialize_distributed()
+    assert pc == 2, pc
+    assert len(jax.devices()) == 4
+
+    root = os.environ["DIST_DATA_ROOT"]
+    work = os.environ["DIST_WORK_DIR"]
+    cfg = TransCARConfig(
+        name="dist_train_test",
+        model=ModelConfig(
+            backbone=BackboneConfig(kind="resnet50", compute_dtype=None,
+                                    with_dcn=(False,) * 4),
+            head=HeadConfig(num_query=8, num_decoder_layers=1,
+                            with_radar_fusion=False),
+            use_grid_mask=False),
+        data=DataConfig(data_root=root, img_hw=(64, 96), max_gt_boxes=8,
+                        workers=0, samples_per_device=1),
+        train=TrainConfig(
+            optim=OptimConfig(total_epochs=1, warmup_iters=1,
+                              freeze_camera_branch=False),
+            work_dir=work, mesh_shape=(2,)),   # must be OVERRIDDEN by pc>1
+    )
+    from transcar_tpu.train.loop import train
+
+    state = train(cfg, max_steps=1, log_interval=1)
+    assert int(state.step) == 1
+    # global mesh spans all 4 devices despite mesh_shape=(2,)
+    if pi == 0:
+        logs = [f for f in os.listdir(work) if f.endswith(".log.json")]
+        assert logs, os.listdir(work)
+    print(f"dist train child {pi}/{pc} OK", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DIST_TEST_MODE") == "train":
+        main_train()
+    else:
+        main()

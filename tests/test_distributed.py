@@ -99,3 +99,40 @@ def test_two_process_distributed_cpu():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
         assert f"dist child {pid}/2 OK" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_full_train_step(tmp_path):
+    """2 OS processes × 2 CPU devices run train() end-to-end: the data
+    mesh must span the GLOBAL 4-device set (mesh_shape is a single-host
+    knob), each rank loads its slice, rank 0 logs."""
+    from tests.test_train_loop_e2e import _make_dataset
+
+    root = str(tmp_path / "data")
+    work = str(tmp_path / "work")
+    os.makedirs(root)
+    _make_dataset(root)
+
+    port = _free_port()
+    child = os.path.join(os.path.dirname(__file__), "dist_child.py")
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if "axon" not in v}
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            DIST_TEST_MODE="train",
+            DIST_DATA_ROOT=root,
+            DIST_WORK_DIR=work,
+        )
+        env.pop("TPU_SKIP_MDS_QUERY", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, child], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"dist train child {pid}/2 OK" in out, out
