@@ -49,12 +49,15 @@ class BackboneConfig:
                                      # (the @auto_fp16 analog, detr3d.py:68);
                                      # None = inherit input dtype
     dcn_impl: str = "auto"           # "auto" | "exact" | "pallas": DCNv2
-                                     # sampling path.  "auto" → the fused
-                                     # Pallas kernel (ops/pallas_dcn.py) for
-                                     # inference on TPU, the autodiff-able
-                                     # exact XLA gather otherwise
-    dcn_band_rows: int = 16          # pallas row band: exact for vertical
-                                     # offsets |Δy| ≤ (band−4)/2 px
+                                     # path.  "auto" → the fused Pallas
+                                     # kernel (fwd + custom-VJP bwd,
+                                     # ops/pallas_dcn.py) on TPU for both
+                                     # training and inference; the exact
+                                     # XLA gather on CPU meshes
+    dcn_band_rows: int = 14          # pallas row band: exact for vertical
+                                     # offsets |Δy| ≤ (band−4)/2 px (= 5);
+                                     # widen for checkpoints with larger
+                                     # learned offsets
 
 
 @dataclass(frozen=True)
