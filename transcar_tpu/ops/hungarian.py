@@ -33,24 +33,26 @@ _INF = float(np.finfo(np.float32).max) / 4
 def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
     """Solve min-cost assignment of GTs to queries.
 
+    Rows are solved only up to ``num_gt`` (early termination): the JV
+    shortest-augmenting-path invariant makes the first-n-rows solution
+    optimal for those rows, and padded rows cannot influence real ones.
+    Under vmap the row loop runs max(num_gt)-over-the-batch iterations
+    instead of always G_max — the dominant cost at nuScenes gt counts
+    (~10-40 real boxes « the 128-slot static pad).
+
     Args:
       cost_qg: [Q, G_max] float cost (rows: queries, cols: gt slots).
       num_gt: scalar int — number of real GTs (≤ G_max); padded slots are
-        ignored via uniform-cost rows.
+        never solved.
     Returns:
-      (matched_query, valid): [G_max] int32 query index per gt slot, and
+      (matched_query, valid): [G_max] int32 query index per gt slot — Q
+      (an out-of-range scatter-drop sentinel) at padded slots — and
       [G_max] bool validity (slot < num_gt).
     """
     cost = cost_qg.T.astype(jnp.float32)             # [G, Q], rows = gts
     g_max, q = cost.shape
     row_ids = jnp.arange(g_max)
     valid = row_ids < num_gt
-    cost = jnp.where(valid[:, None], cost, 0.0)      # uniform padded rows
-
-    u = jnp.zeros((g_max,), jnp.float32)
-    v = jnp.zeros((q,), jnp.float32)
-    col4row = jnp.full((g_max,), -1, jnp.int32)
-    row4col = jnp.full((q,), -1, jnp.int32)
 
     def solve_row(cur_row, state):
         u, v, col4row, row4col = state
@@ -106,9 +108,20 @@ def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
             aug_cond, aug_body, (False, sink, col4row, row4col))
         return u, v, col4row, row4col
 
-    _, _, col4row, _ = jax.lax.fori_loop(
-        0, g_max, solve_row, (u, v, col4row, row4col))
-    return col4row, valid
+    def row_cond(s):
+        return s[0] < num_gt
+
+    def row_body(s):
+        cur_row, state = s[0], s[1:]
+        return (cur_row + 1,) + solve_row(cur_row, state)
+
+    init = (jnp.int32(0),
+            jnp.zeros((g_max,), jnp.float32),
+            jnp.zeros((q,), jnp.float32),
+            jnp.full((g_max,), -1, jnp.int32),
+            jnp.full((q,), -1, jnp.int32))
+    _, _, _, col4row, _ = jax.lax.while_loop(row_cond, row_body, init)
+    return jnp.where(valid, col4row, q), valid
 
 
 def hungarian_match_callback(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
@@ -130,7 +143,7 @@ def hungarian_match_callback(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
         host, jax.ShapeDtypeStruct((g_max,), jnp.int32), cost_qg, num_gt,
         vmap_method="sequential")
     valid = jnp.arange(g_max) < num_gt
-    return jnp.where(valid, matched, 0), valid
+    return jnp.where(valid, matched, cost_qg.shape[0]), valid
 
 
 def hungarian_match_native(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
@@ -147,4 +160,4 @@ def hungarian_match_native(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
         host, jax.ShapeDtypeStruct((g_max,), jnp.int32), cost_qg, num_gt,
         vmap_method="sequential")
     valid = jnp.arange(g_max) < num_gt
-    return jnp.where(valid, matched, 0), valid
+    return jnp.where(valid, matched, cost_qg.shape[0]), valid

