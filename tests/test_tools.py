@@ -28,6 +28,30 @@ def test_fold_frozen_bn_preserves_outputs():
                                atol=1e-4)
 
 
+def test_fold_bn_into_conv_matches_unfolded():
+    """Kernel-level conv-BN fusion (the eval default) reproduces the
+    unfolded outputs within fp tolerance, including the DCN conv2/bn2
+    pattern (fuse_conv_bn.py:10-24 semantics)."""
+    from transcar_tpu.train.fold import fold_bn_into_conv
+
+    rng = np.random.default_rng(1)
+    bb = ResNet(depth=50, with_dcn=(False, False, True, True),
+                out_indices=(2, 3), compute_dtype=None, dcn_impl="exact")
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = bb.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * rng.normal(size=a.shape).astype(a.dtype), params)
+    ref = bb.apply(params, x)
+    folded = {"params": fold_bn_into_conv(params["params"])}
+    out = bb.apply(folded, x)
+    # the fold relocates the BN multiply across the conv reduction, so
+    # fp32 reassociation through 50 randomly perturbed layers (magnitudes
+    # ~1e4) shows up; a *wrong* fold would be off by orders of magnitude
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=5e-2,
+                                   atol=1e-3)
+
+
 def test_print_config_cli(capsys):
     from transcar_tpu.cli.print_config import main
     main(["transcar_r101", "--cfg-options", "train.optim.lr=0.001"])
@@ -76,7 +100,7 @@ def test_train_cli_autoscale_lr(tmp_path, monkeypatch, capsys):
 
     captured = {}
 
-    def fake_train(cfg, radar_fn=None, max_steps=None):
+    def fake_train(cfg, radar_fn=None, max_steps=None, **kwargs):
         captured["lr"] = cfg.train.optim.lr
         return None
 

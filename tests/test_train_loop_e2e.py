@@ -193,15 +193,18 @@ def test_train_and_evaluate_end_to_end(tmp_path):
 
     from transcar_tpu.train.loop import evaluate, train
 
-    state = train(cfg, max_steps=2, log_interval=1)
+    state = train(cfg, max_steps=2, log_interval=1, eval_samples=2)
     assert int(state.step) == 2
     logs = [f for f in os.listdir(work) if f.endswith(".log.json")]
     assert logs
     with open(os.path.join(work, logs[0])) as f:
         recs = [json.loads(l) for l in f]
     assert any(r.get("mode") == "train" and "loss_cls" in r for r in recs)
-    assert os.path.isdir(os.path.join(work, "checkpoints"))
-    assert os.path.exists(os.path.join(work, "config.json"))
+    # EvalHook analog: a val record + val submission written mid-training
+    # (detr3d_res101_gridmask.py:223, tools/train.py:253-260)
+    val_recs = [r for r in recs if r.get("mode") == "val"]
+    assert val_recs and val_recs[0]["epoch"] == 1
+    assert any(f.startswith("val_epoch") for f in os.listdir(work))
 
     out_path = evaluate(cfg, state.params, max_samples=2,
                         out_path=os.path.join(work, "results.json"))
@@ -213,3 +216,23 @@ def test_train_and_evaluate_end_to_end(tmp_path):
             assert set(a) >= {"sample_token", "translation", "size",
                               "rotation", "velocity", "detection_name",
                               "detection_score", "attribute_name"}
+
+    # batched eval path: bs=2 over 3 samples (padded tail) must reproduce
+    # the bs=1 submission exactly (tools/test.py:183-189 samples_per_gpu)
+    bs1 = evaluate(cfg, state.params, max_samples=3,
+                   out_path=os.path.join(work, "results_bs1.json"))
+    bs2 = evaluate(cfg, state.params, max_samples=3, batch_size=2,
+                   out_path=os.path.join(work, "results_bs2.json"))
+    with open(bs1) as f:
+        sub1 = json.load(f)["results"]
+    with open(bs2) as f:
+        sub2 = json.load(f)["results"]
+    assert set(sub1) == set(sub2) and len(sub1) == 3
+    for tok in sub1:
+        for a, b in zip(sub1[tok], sub2[tok]):
+            assert a["detection_name"] == b["detection_name"]
+            np.testing.assert_allclose(a["translation"], b["translation"],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(a["detection_score"],
+                                       b["detection_score"],
+                                       rtol=1e-5, atol=1e-6)

@@ -26,10 +26,17 @@ def main(argv=None):
     ap.add_argument("--show-dir",
                     help="render BEV PNGs of the predictions into this "
                          "directory (tools/test.py:43-45 analog, headless)")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="inference batch size (samples_per_gpu analog, "
+                         "tools/test.py:183-189); the tail batch is padded "
+                         "and padded rows dropped, so results match bs=1")
     ap.add_argument("--fuse-conv-bn", action="store_true",
                     help="precompute frozen-BN affines before inference "
-                         "(tools/test.py:27-30 analog; XLA fuses these at "
-                         "compile time anyway — provided for parity)")
+                         "(tools/test.py:27-30 analog; kernel-level fusion "
+                         "is the eval default — see --no-fold-bn)")
+    ap.add_argument("--no-fold-bn", action="store_true",
+                    help="disable the default conv-BN kernel fold at eval "
+                         "(bit-exact unfolded numerics)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -81,7 +88,9 @@ def main(argv=None):
             f"step dirs under work_dir/checkpoints save them)")
     out_path = evaluate(cfg, params, radar_fn=radar_fn,
                         max_samples=args.max_samples, out_path=args.out,
-                        batch_stats=batch_stats)
+                        batch_stats=batch_stats,
+                        batch_size=args.batch_size,
+                        fold_bn=not args.no_fold_bn)
     # only rank 0 writes the submission (train/loop.py evaluate);
     # post-processing of the file is rank-0 work too
     if jax.process_index() != 0:

@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--autoscale-lr", action="store_true",
                     help="linear LR scaling by device count / 8 "
                          "(tools/train.py:148-150; arXiv:1706.02677)")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="disable the mid-training eval hook "
+                         "(tools/train.py:44-46 analog)")
+    ap.add_argument("--eval-samples", type=int,
+                    help="bound each mid-training val pass to N samples")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -63,6 +68,8 @@ def main(argv=None):
         overrides["train.resume_from"] = args.resume_from
     if args.seed is not None:
         overrides["train.seed"] = args.seed
+    if args.no_validate:
+        overrides["train.eval_interval_epochs"] = "0"
     cfg = get_preset(args.preset, overrides)
     if args.autoscale_lr:
         # linear scaling rule against the reference's 8-GPU schedule
@@ -84,7 +91,8 @@ def main(argv=None):
         radar_fn = _try_radar_fn(cfg)
 
     from transcar_tpu.train.loop import train
-    train(cfg, radar_fn=radar_fn, max_steps=args.max_steps)
+    train(cfg, radar_fn=radar_fn, max_steps=args.max_steps,
+          eval_samples=args.eval_samples)
 
 
 def _try_radar_fn(cfg):

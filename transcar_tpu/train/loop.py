@@ -57,8 +57,19 @@ class JsonLogger:
 def train(cfg: TransCARConfig,
           radar_fn: Optional[Callable[[str], np.ndarray]] = None,
           max_steps: Optional[int] = None,
-          log_interval: int = 50) -> TrainState:
+          log_interval: int = 50,
+          eval_samples: Optional[int] = None) -> TrainState:
     """Full training run driven by a config (tools/train.py analog).
+
+    Mid-training evaluation (EvalHook analog — the reference evaluates
+    every 2 epochs, detr3d_res101_gridmask.py:223 via mmdet3d
+    train_model, tools/train.py:253-260): every
+    ``cfg.train.eval_interval_epochs`` epochs and after the final epoch,
+    the val split runs through the current params, the submission json is
+    written under work_dir, devkit metrics (when the raw dataset is
+    present) land in a ``mode="val"`` json-log record that
+    cli/analyze_logs can parse.  ``eval_interval_epochs <= 0`` disables
+    the hook.  ``eval_samples`` bounds the val pass (tests/smoke runs).
 
     Multi-host: when jax.distributed env is set (tools/dist_train.sh),
     every host runs this function; the mesh spans the global device set,
@@ -144,6 +155,38 @@ def train(cfg: TransCARConfig,
         ckpt.save_checkpoint(work_dir, int(state.step), host,
                              config_dict=config_to_dict(cfg))
 
+    # EvalHook context — built lazily at the first val pass so the jitted
+    # eval step and val dataset are reused across epochs (one compile)
+    eval_ctx: Dict[str, object] = {}
+
+    def run_val(epoch: int, state: TrainState):
+        t0 = time.time()
+        if not eval_ctx:
+            eval_ctx["dataset"] = NuScenesInfos(
+                os.path.join(cfg.data.data_root, cfg.data.ann_val),
+                class_names=cfg.data.class_names, test_mode=True,
+                data_root=cfg.data.data_root)
+            eval_ctx["step"] = make_eval_step(cfg, build_model(cfg))
+        result_path = evaluate(
+            cfg, state.params, radar_fn=radar_fn,
+            max_samples=eval_samples,
+            out_path=os.path.join(work_dir,
+                                  f"val_epoch{epoch + 1}_nusc.json"),
+            batch_stats=state.batch_stats or None,
+            _eval_step=eval_ctx["step"], _dataset=eval_ctx["dataset"])
+        rec = {"mode": "val", "epoch": epoch + 1, "iter": len(loader),
+               "time": round(time.time() - t0, 4)}
+        if pi == 0:
+            try:    # devkit mAP/NDS when the raw dataset is available
+                from transcar_tpu.eval.submission import evaluate_nuscenes
+                rec.update({k: round(float(v), 4) for k, v in
+                            evaluate_nuscenes(
+                                result_path, cfg.data.data_root,
+                                version=cfg.data.version).items()})
+            except Exception as e:
+                rec["devkit"] = f"unavailable: {type(e).__name__}"
+        logger.log(rec)
+
     done = False
     for epoch in range(start_epoch, cfg.train.optim.total_epochs):
         t_iter = time.time()
@@ -169,6 +212,10 @@ def train(cfg: TransCARConfig,
                 break
         if (epoch + 1) % cfg.train.checkpoint_interval_epochs == 0 or done:
             save(state)
+        ei = cfg.train.eval_interval_epochs
+        last = (epoch + 1 == cfg.train.optim.total_epochs) or done
+        if ei > 0 and ((epoch + 1) % ei == 0 or last):
+            run_val(epoch, state)
         if done:
             break
     return state
@@ -178,39 +225,69 @@ def evaluate(cfg: TransCARConfig, params,
              radar_fn: Optional[Callable[[str], np.ndarray]] = None,
              max_samples: Optional[int] = None,
              out_path: Optional[str] = None,
-             batch_stats=None) -> str:
+             batch_stats=None,
+             batch_size: int = 1,
+             fold_bn: bool = True,
+             _eval_step=None,
+             _dataset=None) -> str:
     """Inference over the val set → nuScenes submission json
     (tools/test.py --format-only analog).  Devkit metrics via
     eval.submission.evaluate_nuscenes when raw data is present.
 
+    ``batch_size`` > 1 batches inference (samples_per_gpu analog,
+    tools/test.py:183-189): the index list is padded to a batch multiple
+    by repeating the first sample and padded rows are dropped before
+    formatting, so outputs are identical to the bs=1 path.
+
+    ``fold_bn`` folds frozen-BN scales into adjacent conv kernels before
+    inference (fuse_conv_bn at eval-model build; tools/misc/
+    fuse_conv_bn.py:10-24 semantics — disable for bit-exact unfolded
+    numerics).
+
     Multi-host: samples strided across processes, decoded fixed-shape
     outputs allgathered, rank 0 formats and writes (multi_gpu_test +
-    collect analog, tools/test.py:218-223)."""
+    collect analog, tools/test.py:218-223).
+
+    ``_eval_step``/``_dataset`` let the in-training eval hook reuse one
+    jitted step + dataset across epochs instead of recompiling."""
     pi, pc = maybe_initialize_distributed()
-    dataset = NuScenesInfos(
+    dataset = _dataset if _dataset is not None else NuScenesInfos(
         os.path.join(cfg.data.data_root, cfg.data.ann_val),
         class_names=cfg.data.class_names, test_mode=True,
         data_root=cfg.data.data_root)
-    model = build_model(cfg)
-    eval_step = make_eval_step(cfg, model)
+    if _eval_step is not None:
+        eval_step = _eval_step
+    else:
+        model = build_model(cfg)
+        eval_step = make_eval_step(cfg, model)
+    if fold_bn:
+        from transcar_tpu.train.fold import fold_bn_into_conv
+        params = fold_bn_into_conv(params)
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     my_indices = np.arange(n)[pi::pc]
+    n_real = len(my_indices)
+    pad = (-n_real) % batch_size if n_real else 0
+    padded = (np.concatenate([my_indices, np.repeat(my_indices[:1], pad)])
+              if pad else my_indices)
     loader = PrefetchLoader(
-        dataset, cfg.data, batch_size=1, training=False,
-        indices=my_indices, radar_fn=radar_fn,
+        dataset, cfg.data, batch_size=batch_size, training=False,
+        indices=padded, radar_fn=radar_fn,
         modality="lidar" if cfg.model.lidar_encoder else "camera")
     local = {"boxes": [], "scores": [], "labels": [], "valid": [],
              "sample_idx": []}
-    for idx, batch in enumerate(loader.epoch(0)):
-        if idx >= len(my_indices):
-            break
+    for bidx, batch in enumerate(loader.epoch(0)):
         out = eval_step(params, batch, batch_stats)
-        local["boxes"].append(np.asarray(out["boxes"][0]))
-        local["scores"].append(np.asarray(out["scores"][0]))
-        local["labels"].append(np.asarray(out["labels"][0]))
-        local["valid"].append(np.asarray(out["valid"][0]))
-        local["sample_idx"].append(np.int32(my_indices[idx]))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for row in range(batch_size):
+            pos = bidx * batch_size + row
+            if pos >= n_real:       # padded tail rows
+                continue
+            local["boxes"].append(out["boxes"][row])
+            local["scores"].append(out["scores"][row])
+            local["labels"].append(out["labels"][row])
+            local["valid"].append(out["valid"][row])
+            local["sample_idx"].append(np.int32(my_indices[pos]))
     n_local = len(local["sample_idx"])
     stacked = {k: np.stack(v) if n_local else np.zeros(
         (0,) + _eval_leaf_shape(k, cfg), _eval_leaf_dtype(k))
