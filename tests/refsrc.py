@@ -10,6 +10,16 @@ parity tests exercise the reference's own code rather than restatements.
 
 Nothing here touches /root/reference except read-only imports, and the
 stubs are installed only inside the test process.
+
+TRUST BOUNDARY (ADVICE r2): importing a module EXECUTES its module-level
+code, and /root/reference is untrusted third-party content.  Keep the
+imported set to the small, hand-audited modules in tests/
+test_reference_oracles.py (pure-math box/cost/mask/decode files with no
+module-level side effects beyond class definitions), keep the stub
+surface minimal so anything unexpected fails loudly at import, and
+re-audit the list before refreshing the reference tree from upstream;
+move these oracle imports into a subprocess if the tree is ever updated
+automatically.
 """
 from __future__ import annotations
 
