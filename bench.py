@@ -40,9 +40,18 @@ def main():
 
     @jax.jit
     def infer(params, images, l2i, radar):
-        return model.apply(params, images, l2i, radar)
+        # "intermediates" carries the DCN band-overflow telemetry (fraction
+        # of taps with |Δy| past the banded kernel's exact window — see
+        # models/resnet.py DCNConv); the max over the 26 DCN layers audits
+        # the shipped band on whatever weights run here
+        out, inter = model.apply(params, images, l2i, radar,
+                                 mutable=["intermediates"])
+        fracs = jax.tree_util.tree_leaves(inter["intermediates"])
+        overflow = jnp.max(jnp.stack(fracs)) if fracs else jnp.zeros(())
+        return out, overflow
 
-    def sync(out):
+    def sync(res):
+        out, _ = res
         # block_until_ready is unreliable through the axon relay; a host
         # transfer of a scalar-reduced output is a hard sync point
         return float(jnp.sum(out["all_bbox_preds"][..., 0]))
@@ -54,10 +63,11 @@ def main():
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(params, images, l2i, radar)
-    sync(out)   # data dependency drains the whole queue
+        res = infer(params, images, l2i, radar)
+    sync(res)   # data dependency drains the whole queue
     dt = time.perf_counter() - t0
     sps = iters * b / dt
+    overflow = float(res[1])
 
     print(json.dumps({
         "metric": "transcar_r101_6cam_928x1600_bs1_infer",
@@ -67,6 +77,7 @@ def main():
         "baseline_assumed": 2.0,
         "baseline_basis": "DETR3D-R101-class bs1 V100 figure; the "
                           "reference publishes no FPS (SURVEY.md §6)",
+        "dcn_overflow_frac": round(overflow, 6),
     }))
 
 

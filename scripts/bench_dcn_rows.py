@@ -1,0 +1,74 @@
+"""DCN m-expansion sweep: rows_per_step x band_rows, R101 block shapes.
+
+Round-2 phase ablation found the fused kernel bound by a ~10 us
+per-grid-step floor (docs/PERF_NOTES.md); rows_per_step>1 amortizes that
+floor over multiple output rows.  Exactness: |dy| <= (band-4)/2-(rows-1)/2,
+so higher rows pairs with wider bands to keep the shipped |dy|<=5 margin.
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transcar_tpu.ops.pallas_dcn import fused_deform_conv
+
+ITERS = 30
+
+SWEEP = [  # (rows, band) pairs; exact-margin px = (band-4)/2-(rows-1)/2
+    (1, 14),   # shipped default, 5.0 px
+    (2, 14),   # 4.5 px
+    (2, 16),   # 5.5 px
+    (4, 16),   # 4.5 px
+    (4, 18),   # 5.5 px
+    (4, 20),   # 6.5 px
+    (8, 20),   # 4.5 px
+    (8, 24),   # 6.5 px
+]
+
+
+def timed(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    s = float(jnp.sum(out))
+    return time.perf_counter() - t0, s
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    for tag, (n, h, w, c) in [("s3", (6, 58, 100, 256)),
+                              ("s4", (6, 29, 50, 512))]:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.bfloat16)
+        om = jnp.asarray(rng.normal(size=(n, h, w, 27)) * 1.5, jnp.bfloat16)
+        wt = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, jnp.bfloat16)
+        bias = jnp.zeros((c,), jnp.bfloat16)
+
+        for rows, band in SWEEP:
+            def loop_fused(x, om, rows=rows, band=band):
+                def body(i, carry):
+                    acc, xx = carry
+                    out = fused_deform_conv(xx, om, wt, bias,
+                                            band_rows=band,
+                                            rows_per_step=rows)
+                    return acc + jnp.sum(
+                        out[..., 0].astype(jnp.float32)), xx + 1e-6
+                acc, _ = jax.lax.fori_loop(0, ITERS, body,
+                                           (jnp.zeros(()), x))
+                return acc[None]
+
+            fn = jax.jit(loop_fused)
+            try:
+                timed(fn, x, om)            # compile
+                dt, s = timed(fn, x, om)
+                margin = (band - 4) / 2 - (rows - 1) / 2
+                print(f"{tag} rows{rows}-B{band} (|dy|<={margin:.1f}px): "
+                      f"{dt / ITERS * 1e3:.2f} ms/block (sum {s:.1f})",
+                      flush=True)
+            except Exception as e:
+                print(f"{tag} rows{rows}-B{band}: FAILED {str(e)[:200]}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,32 @@ def test_resolve_dcn_impl_routing():
     model = build_model(forced)
     assert model.dcn_impl == "pallas"
     assert build_model(cfg).dcn_impl == "exact"
+
+
+def test_resolve_dcn_band_widens_for_full_training():
+    """The banded kernel's gradient dead zone (|Δy| > R → zero output AND
+    zero gradient) must not bound a *trainable* offset branch: full-camera
+    training auto-widens the band; the frozen-camera TransCAR recipe and
+    inference keep the configured band (ADVICE r2 medium #2)."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from transcar_tpu.models.detector import (FULL_TRAIN_MIN_BAND,
+                                              camera_branch_trains,
+                                              resolve_dcn_band)
+
+    cfg = ge._tiny_cfg()   # transcar: fusion head + frozen camera branch
+    assert not camera_branch_trains(cfg)
+    assert resolve_dcn_band(cfg, training=False) == \
+        cfg.model.backbone.dcn_band_rows
+    assert resolve_dcn_band(cfg, training=True) == \
+        cfg.model.backbone.dcn_band_rows
+
+    full = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, optim=dataclasses.replace(
+                cfg.train.optim, freeze_camera_branch=False)))
+    assert camera_branch_trains(full)
+    assert resolve_dcn_band(full, training=True) == FULL_TRAIN_MIN_BAND
+    assert resolve_dcn_band(full, training=False) == \
+        cfg.model.backbone.dcn_band_rows

@@ -114,7 +114,7 @@ def test_fused_vjp_matches_exact_autodiff():
         return jnp.sum(out * cot)
 
     def loss_fused(x, om, wt):
-        out = fused_deform_conv_ad(x, om, wt, 16, True)
+        out = fused_deform_conv_ad(x, om, wt, 16, 1, True)
         return jnp.sum(out * cot)
 
     args = (jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight))
@@ -136,7 +136,7 @@ def test_fused_vjp_out_of_band_grads_are_zero():
     weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
 
     def loss(x, om, wt):
-        out = fused_deform_conv_ad(x, om, wt, 16, True)
+        out = fused_deform_conv_ad(x, om, wt, 16, 1, True)
         return jnp.sum(out[:, 16:20] ** 2)
 
     gx, gom, gw = jax.grad(loss, argnums=(0, 1, 2))(

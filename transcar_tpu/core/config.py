@@ -58,6 +58,15 @@ class BackboneConfig:
                                      # offsets |Δy| ≤ (band−4)/2 px (= 5);
                                      # widen for checkpoints with larger
                                      # learned offsets
+    dcn_rows_per_step: int = 1       # pallas m-expansion: output rows per
+                                     # grid step (amortizes the ~10 µs
+                                     # per-step floor, docs/PERF_NOTES.md).
+                                     # Rows share one band centered on the
+                                     # chunk, so exactness shrinks to
+                                     # |Δy| ≤ (band−4)/2 − (rows−1)/2 px;
+                                     # training always runs rows=1 (the
+                                     # backward band matches the forward
+                                     # only there — models/detector.py)
 
 
 @dataclass(frozen=True)

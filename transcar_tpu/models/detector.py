@@ -27,6 +27,9 @@ from transcar_tpu.models.vovnet import VoVNet
 class TransCARDetector(nn.Module):
     cfg: ModelConfig
     dcn_impl: str = "exact"   # resolved by build_model (never "auto" here)
+    dcn_band_rows: Optional[int] = None   # override (build_model auto-widen)
+    dcn_rows_per_step: Optional[int] = None   # override (build_model:
+                                              # rows=1 when training)
 
     def setup(self):
         bc = self.cfg.backbone
@@ -34,7 +37,10 @@ class TransCARDetector(nn.Module):
             self.backbone = ResNet(
                 depth=int(bc.kind[6:]), with_dcn=bc.with_dcn,
                 compute_dtype=bc.compute_dtype, dcn_impl=self.dcn_impl,
-                dcn_band_rows=bc.dcn_band_rows, name="backbone")
+                dcn_band_rows=self.dcn_band_rows or bc.dcn_band_rows,
+                dcn_rows_per_step=(self.dcn_rows_per_step
+                                   or bc.dcn_rows_per_step),
+                name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
                 compute_dtype=bc.compute_dtype, name="backbone")
@@ -101,12 +107,34 @@ class TransCARDetector(nn.Module):
                          deterministic=True)
 
 
+# widened band for full-backbone training (trainable conv_offset): exact
+# |Δy| ≤ 10 px — double the typical trained-DCN offset tail — so the banded
+# kernel's gradient dead zone (zero output AND zero gradient past the band,
+# ops/pallas_dcn.py) sits far from where offsets ever train to
+FULL_TRAIN_MIN_BAND = 24
+
+
+def camera_branch_trains(cfg: TransCARConfig) -> bool:
+    """True when DCN conv_offset params receive gradients: the TransCAR
+    recipe freezes the whole camera net (tools/train.py:238-252), so only
+    the camera-only full-training track (freeze_camera_branch=False or no
+    fusion head) trains them."""
+    return not (cfg.train.optim.freeze_camera_branch
+                and cfg.model.head.with_radar_fusion)
+
+
 def resolve_dcn_impl(cfg: TransCARConfig, training: bool = False) -> str:
     """Resolve BackboneConfig.dcn_impl="auto": the fused Pallas kernel
     (ops/pallas_dcn.py; custom-VJP backward, so it serves training too —
     full-backbone step 642 ms vs 36.6 s with XLA's scatter backward, and
     identical loss at matched inputs) on TPU; CPU meshes keep the exact
-    XLA gather.  ``dcn_impl="exact"`` opts out."""
+    XLA gather.  ``dcn_impl="exact"`` opts out.
+
+    Full-backbone training (trainable conv_offset) keeps the kernel but
+    :func:`resolve_dcn_band` auto-widens the band, because a tap past the
+    band gets zero output AND zero gradient — an offset that drifted out
+    could never be pulled back in.  Band-overflow telemetry
+    (models/resnet.py DCNConv ``sow``) audits the margin at run time."""
     impl = cfg.model.backbone.dcn_impl
     if impl != "auto":
         return impl
@@ -116,10 +144,25 @@ def resolve_dcn_impl(cfg: TransCARConfig, training: bool = False) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "exact"
 
 
+def resolve_dcn_band(cfg: TransCARConfig, training: bool = False) -> int:
+    """Band for the Pallas DCN kernel.  Inference / frozen-camera training
+    use the configured band (default exact |Δy| ≤ 5 px); full-backbone
+    training auto-widens to ``FULL_TRAIN_MIN_BAND`` (exact ≤ 10 px) so the
+    trainable offset branch keeps gradients over the range offsets
+    realistically reach (mmcv DCNv2 is exact for arbitrary offsets,
+    detr3d_res101_gridmask.py:41-42)."""
+    band = cfg.model.backbone.dcn_band_rows
+    if (training and camera_branch_trains(cfg)
+            and any(cfg.model.backbone.with_dcn)):
+        band = max(band, FULL_TRAIN_MIN_BAND)
+    return band
+
+
 def build_model(cfg: TransCARConfig, training: bool = False):
     """Camera/fusion presets → TransCARDetector; ``lidar_encoder`` presets
     (objdgcnn_{pillar,voxel}) → ObjDGCNN.  ``training`` selects the
-    autodiff-able DCN path (see :func:`resolve_dcn_impl`)."""
+    autodiff-able DCN path (see :func:`resolve_dcn_impl`) and the
+    full-training band widening (:func:`resolve_dcn_band`)."""
     m = cfg.model
     if m.lidar_encoder:
         from transcar_tpu.models.dgcnn import ObjDGCNN
@@ -128,4 +171,10 @@ def build_model(cfg: TransCARConfig, training: bool = False):
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape)
-    return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training))
+    # m-expansion (rows_per_step > 1) is inference-only: the Pallas
+    # backward centers its band per-row, which matches the forward's
+    # shared-per-chunk band only at rows=1 (ops/pallas_dcn.py)
+    rows = 1 if training else m.backbone.dcn_rows_per_step
+    return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
+                            dcn_band_rows=resolve_dcn_band(cfg, training),
+                            dcn_rows_per_step=rows)

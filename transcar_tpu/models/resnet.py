@@ -42,6 +42,7 @@ class DCNConv(nn.Module):
     stride: int = 1
     impl: str = "exact"        # "exact" (autodiff-able XLA gather) |
     band_rows: int = 16        # "pallas" (fused inference kernel)
+    rows_per_step: int = 1     # pallas m-expansion (see BackboneConfig)
     interpret: bool = False    # pallas interpret mode (CPU tests)
 
     @nn.compact
@@ -60,8 +61,21 @@ class DCNConv(nn.Module):
             (3, 3, self.in_features, self.features))
         if self.impl == "pallas" and self.stride == 1:
             from transcar_tpu.ops.pallas_dcn import fused_deform_conv_ad
+
+            # band-overflow telemetry: fraction of taps whose vertical
+            # offset leaves the exact window |Δy| ≤ (band−4)/2 (beyond it
+            # the banded kernel returns 0 output AND 0 gradient — see
+            # ops/pallas_dcn.py).  Sown into "intermediates" so eval/bench
+            # can audit real checkpoints against the shipped band; free
+            # when "intermediates" is not mutable.
+            if not self.is_initializing():
+                margin = ((self.band_rows - 4) / 2
+                          - (self.rows_per_step - 1) / 2)
+                dy = om[..., 0:18:2].astype(jnp.float32)
+                self.sow("intermediates", "dcn_overflow_frac",
+                         jnp.mean((jnp.abs(dy) > margin).astype(jnp.float32)))
             return fused_deform_conv_ad(x, om, weight, self.band_rows,
-                                        self.interpret)
+                                        self.rows_per_step, self.interpret)
         fn = lambda xi, omi: modulated_deform_conv(
             xi, omi, weight, stride=self.stride, padding=1)
         return jax.vmap(fn)(x, om)
@@ -76,6 +90,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     dcn_impl: str = "exact"
     dcn_band_rows: int = 16
+    dcn_rows_per_step: int = 1
     dcn_interpret: bool = False
 
     @nn.compact
@@ -86,6 +101,7 @@ class Bottleneck(nn.Module):
         if self.with_dcn:
             out = DCNConv(self.planes, self.planes, impl=self.dcn_impl,
                           band_rows=self.dcn_band_rows,
+                          rows_per_step=self.dcn_rows_per_step,
                           interpret=self.dcn_interpret, name="conv2")(out)
             out = FrozenBN(self.planes, name="bn2")(out)
             out = nn.relu(out)
@@ -111,6 +127,7 @@ class ResNet(nn.Module):
     remat: bool = True   # rematerialize blocks on backward (HBM for FLOPs)
     dcn_impl: str = "exact"      # "exact" | "pallas" (see models docstring)
     dcn_band_rows: int = 16
+    dcn_rows_per_step: int = 1
     dcn_interpret: bool = False  # pallas interpret mode (CPU tests)
 
     @nn.compact
@@ -136,6 +153,7 @@ class ResNet(nn.Module):
                     with_dcn=self.with_dcn[stage],
                     dcn_impl=self.dcn_impl,
                     dcn_band_rows=self.dcn_band_rows,
+                    dcn_rows_per_step=self.dcn_rows_per_step,
                     dcn_interpret=self.dcn_interpret,
                     name=f"layer{stage + 1}_{b}",
                 )(x)

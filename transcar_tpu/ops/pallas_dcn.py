@@ -50,9 +50,11 @@ def _kernel(x_ref, omp_ref, w_ref, o_ref, *, hp, w, cin, cout, band,
     """One (image, row-chunk) grid step.
 
     x_ref:   [1, W, H'·C]   transposed image (revisited across rows)
-    omp_ref: [1, 1, rows·9W, 4]  per-p offset columns (lane 0=Δy, 1=Δx,
-             2=mask; p = rr·9W + k·W + q, pre-flattened outside — Mosaic
-             cannot shape-cast [W, 9] → [9W, 1] in-kernel)
+    omp_ref: [1, 1, rows·9W, 8]  per-p precomputed columns (lane 0 =
+             absolute y0, 1 = fy, 2 = absolute x0, 3 = fx, 4 = σ(mask),
+             5-7 zero padding; p = rr·9W + k·W + q, pre-flattened by
+             _omp_precompute — Mosaic cannot shape-cast [W, 9] → [9W, 1]
+             in-kernel)
     w_ref:   [9, C, Cout]   conv weights, tap-major
     o_ref:   [1, 1, rows, W, Cout]
     """
@@ -363,26 +365,36 @@ def _fused_dcn_bwd_impl(x, offset_mask, weight, d_out, band_rows,
     return d_x, d_om, d_w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_deform_conv_ad(x, offset_mask, weight, band_rows=16,
-                         interpret=False):
+                         rows_per_step=1, interpret=False):
     """Differentiable fused DCNv2 (no bias): forward is
     :func:`fused_deform_conv`; backward is the transposed-one-hot-matmul
     Pallas kernel above.  Gradients are the exact gradients of the
     banded forward (taps with |Δy| beyond the band contribute zero in
     both directions), validated against the exact path's autodiff in
-    tests/test_pallas_dcn.py."""
+    tests/test_pallas_dcn.py.
+
+    ``rows_per_step`` (m-expansion) is an inference-throughput knob: the
+    backward kernel centers its band per-row, which matches the forward's
+    shared-per-chunk band placement only at rows=1 — build_model forces
+    rows=1 whenever ``training=True`` so training gradients stay exact."""
     return fused_deform_conv(x, offset_mask, weight, None,
-                             band_rows=band_rows, interpret=interpret)
+                             band_rows=band_rows,
+                             rows_per_step=rows_per_step,
+                             interpret=interpret)
 
 
-def _fused_ad_fwd(x, offset_mask, weight, band_rows, interpret):
+def _fused_ad_fwd(x, offset_mask, weight, band_rows, rows_per_step,
+                  interpret):
     out = fused_deform_conv(x, offset_mask, weight, None,
-                            band_rows=band_rows, interpret=interpret)
+                            band_rows=band_rows,
+                            rows_per_step=rows_per_step,
+                            interpret=interpret)
     return out, (x, offset_mask, weight)
 
 
-def _fused_ad_bwd(band_rows, interpret, res, d_out):
+def _fused_ad_bwd(band_rows, rows_per_step, interpret, res, d_out):
     x, offset_mask, weight = res
     return _fused_dcn_bwd_impl(x, offset_mask, weight,
                                d_out.astype(x.dtype), band_rows, interpret)
