@@ -58,6 +58,12 @@ class BackboneConfig:
                                      # offsets |Δy| ≤ (band−4)/2 px (= 5);
                                      # widen for checkpoints with larger
                                      # learned offsets
+    osa_reduce_impl: str = "auto"    # VoVNet OSA tail: "auto" | "xla" |
+                                     # "pallas".  "auto" → the fused
+                                     # concat-reduce kernel
+                                     # (ops/pallas_osa.py) on TPU at
+                                     # inference; XLA for training/CPU
+                                     # (kernel is forward-only)
     dcn_rows_per_step: int = 1       # pallas m-expansion: output rows per
                                      # grid step (amortizes the ~10 µs
                                      # per-step floor, docs/PERF_NOTES.md).

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,6 +31,8 @@ class TransCARDetector(nn.Module):
     dcn_band_rows: Optional[int] = None   # override (build_model auto-widen)
     dcn_rows_per_step: Optional[int] = None   # override (build_model:
                                               # rows=1 when training)
+    osa_reduce_impl: str = "xla"   # VoVNet OSA tail (resolved by
+                                   # build_model; never "auto" here)
 
     def setup(self):
         bc = self.cfg.backbone
@@ -43,7 +46,8 @@ class TransCARDetector(nn.Module):
                 name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
-                compute_dtype=bc.compute_dtype, name="backbone")
+                compute_dtype=bc.compute_dtype,
+                reduce_impl=self.osa_reduce_impl, name="backbone")
         else:
             raise ValueError(f"unknown backbone {bc.kind!r}")
         self.neck = FPN(
@@ -175,6 +179,12 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     # backward centers its band per-row, which matches the forward's
     # shared-per-chunk band only at rows=1 (ops/pallas_dcn.py)
     rows = 1 if training else m.backbone.dcn_rows_per_step
+    osa = m.backbone.osa_reduce_impl
+    if osa == "auto":
+        # forward-only kernel: training keeps the autodiff-able XLA tail
+        osa = ("pallas" if not training
+               and jax.default_backend() == "tpu" else "xla")
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
-                            dcn_rows_per_step=rows)
+                            dcn_rows_per_step=rows,
+                            osa_reduce_impl=osa)
