@@ -58,6 +58,11 @@ class BackboneConfig:
                                      # offsets |Δy| ≤ (band−4)/2 px (= 5);
                                      # widen for checkpoints with larger
                                      # learned offsets
+    stem_impl: str = "auto"          # backbone stem: "auto" | "xla" |
+                                     # "phase" (ops/phase_stem.py: same
+                                     # params, conv math on the stride-4
+                                     # phase grid; "auto" → phase on TPU
+                                     # at inference, XLA otherwise)
     osa_reduce_impl: str = "auto"    # VoVNet OSA tail: "auto" | "xla" |
                                      # "pallas".  "auto" → the fused
                                      # concat-reduce kernel

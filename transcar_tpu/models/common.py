@@ -187,6 +187,55 @@ class MaskedBN(nn.Module):
         return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
 
 
+class ConvKernelParams(nn.Module):
+    """Param-holder matching nn.Conv's {kernel} tree (no compute)."""
+
+    cin: int
+    cout: int
+    ksize: int = 1
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.ksize, self.ksize, self.cin, self.cout))
+
+
+class BNStatsParams(nn.Module):
+    """Param-holder matching FrozenBN's {scale,bias,mean,var} tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        return (self.param("scale", nn.initializers.ones, f),
+                self.param("bias", nn.initializers.zeros, f),
+                self.param("mean", nn.initializers.zeros, f),
+                self.param("var", nn.initializers.ones, f))
+
+
+class ConvBNParams(nn.Module):
+    """Declares the same {conv/kernel, bn/{scale,bias,mean,var}} tree a
+    ConvBN owns, without computing — for fused-kernel paths that consume
+    the raw params while keeping checkpoints interchangeable."""
+
+    cin: int
+    cout: int
+    ksize: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kernel = ConvKernelParams(self.cin, self.cout, self.ksize,
+                                  name="conv")()
+        return (kernel,) + BNStatsParams(self.cout, name="bn")()
+
+
+def bn_affine(gamma, beta, mean, var, eps: float = 1e-5):
+    """Folded FrozenBN affine: y = x*scale + bias."""
+    scale = gamma * jax.lax.rsqrt(var + eps)
+    return scale, beta - mean * scale
+
+
 class ConvBN(nn.Module):
     """Conv2D + BN (+ optional ReLU), NHWC.
 

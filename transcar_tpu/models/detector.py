@@ -33,6 +33,8 @@ class TransCARDetector(nn.Module):
                                               # rows=1 when training)
     osa_reduce_impl: str = "xla"   # VoVNet OSA tail (resolved by
                                    # build_model; never "auto" here)
+    stem_impl: str = "xla"         # stem formulation (resolved by
+                                   # build_model; never "auto" here)
 
     def setup(self):
         bc = self.cfg.backbone
@@ -43,11 +45,13 @@ class TransCARDetector(nn.Module):
                 dcn_band_rows=self.dcn_band_rows or bc.dcn_band_rows,
                 dcn_rows_per_step=(self.dcn_rows_per_step
                                    or bc.dcn_rows_per_step),
+                stem_impl=self.stem_impl,
                 name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
                 compute_dtype=bc.compute_dtype,
-                reduce_impl=self.osa_reduce_impl, name="backbone")
+                reduce_impl=self.osa_reduce_impl,
+                stem_impl=self.stem_impl, name="backbone")
         else:
             raise ValueError(f"unknown backbone {bc.kind!r}")
         self.neck = FPN(
@@ -179,12 +183,17 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     # backward centers its band per-row, which matches the forward's
     # shared-per-chunk band only at rows=1 (ops/pallas_dcn.py)
     rows = 1 if training else m.backbone.dcn_rows_per_step
+    on_tpu_infer = not training and jax.default_backend() == "tpu"
     osa = m.backbone.osa_reduce_impl
     if osa == "auto":
         # forward-only kernel: training keeps the autodiff-able XLA tail
-        osa = ("pallas" if not training
-               and jax.default_backend() == "tpu" else "xla")
+        osa = "pallas" if on_tpu_infer else "xla"
+    stem = m.backbone.stem_impl
+    if stem == "auto":
+        # the phase stem is differentiable, but training keeps the plain
+        # formulation so train-time numerics match the reference exactly
+        stem = "phase" if on_tpu_infer else "xla"
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,
-                            osa_reduce_impl=osa)
+                            osa_reduce_impl=osa, stem_impl=stem)

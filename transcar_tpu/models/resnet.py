@@ -129,15 +129,26 @@ class ResNet(nn.Module):
     dcn_band_rows: int = 16
     dcn_rows_per_step: int = 1
     dcn_interpret: bool = False  # pallas interpret mode (CPU tests)
+    stem_impl: str = "xla"       # "xla" | "phase" (ops/phase_stem.py —
+                                 # same params, stem conv+pool on the
+                                 # stride-4 phase grid)
 
     @nn.compact
     def __call__(self, x):
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else x.dtype
         x = x.astype(dtype)
         # stem: 7×7/64 s2 + maxpool 3×3 s2 (mmdet ResNet, deep_stem=False)
-        x = ConvBN(64, kernel=7, stride=2, padding=3, relu=True, dtype=dtype,
-                   name="stem")(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.stem_impl == "phase":
+            from transcar_tpu.models.common import ConvBNParams, bn_affine
+            from transcar_tpu.ops.phase_stem import resnet_phase_stem
+
+            k, *bn = ConvBNParams(3, 64, ksize=7, name="stem")()
+            x = resnet_phase_stem(x, k.astype(dtype), bn_affine(*bn))
+        else:
+            x = ConvBN(64, kernel=7, stride=2, padding=3, relu=True,
+                       dtype=dtype, name="stem")(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         blocks = RESNET_DEPTHS[self.depth]

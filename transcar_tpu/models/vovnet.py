@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from transcar_tpu.models.common import ConvBN
+from transcar_tpu.models.common import ConvBN, ConvBNParams, bn_affine
 
 V99_SPEC = dict(
     stem=(64, 64, 128),
@@ -60,44 +60,8 @@ class _eSEGate(nn.Module):
         return jnp.clip(g + 3.0, 0.0, 6.0) / 6.0
 
 
-class _ConvKernel(nn.Module):
-    """Param-holder matching nn.Conv's {kernel} tree (no compute)."""
-
-    cin: int
-    cout: int
-
-    @nn.compact
-    def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          (1, 1, self.cin, self.cout))
-
-
-class _BNStats(nn.Module):
-    """Param-holder matching FrozenBN's {scale,bias,mean,var} tree."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        f = (self.features,)
-        return (self.param("scale", nn.initializers.ones, f),
-                self.param("bias", nn.initializers.zeros, f),
-                self.param("mean", nn.initializers.zeros, f),
-                self.param("var", nn.initializers.ones, f))
-
-
-class _ConcatReduceParams(nn.Module):
-    """Declares the same {conv/kernel, bn/{scale,bias,mean,var}} tree the
-    XLA ConvBN("concat") owns, so both OSA tail impls load identical
-    checkpoints."""
-
-    cin: int
-    cout: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = _ConvKernel(self.cin, self.cout, name="conv")()
-        return (kernel,) + _BNStats(self.cout, name="bn")()
+_ConcatReduceParams = ConvBNParams   # (name kept for existing callers)
+_bn_affine = bn_affine
 
 
 class OSABlock(nn.Module):
@@ -115,12 +79,46 @@ class OSABlock(nn.Module):
     concat_ch: int
     layer_per_block: int
     identity: bool = False
-    reduce_impl: str = "xla"       # "xla" (autodiff path) | "pallas"
+    reduce_impl: str = "xla"       # "xla" (autodiff) | "pallas" (fused
+                                   # tail) | "fused" (whole-block kernel)
+    rows_per_chunk: Optional[int] = None   # "fused": image rows per grid
+                                           # step (None = whole image)
     interpret: bool = False        # pallas interpret mode (CPU tests)
 
     @nn.compact
     def __call__(self, x):
         identity_feat = x
+        if self.reduce_impl == "fused":
+            from transcar_tpu.ops.pallas_osa_block import osa_block_fused
+
+            conv_ws, conv_affs = [], []
+            cin = x.shape[-1]
+            for i in range(self.layer_per_block):
+                k, g, b, m, v = _ConcatReduceParams(
+                    cin, self.stage_ch, ksize=3, name=f"conv{i}")()
+                conv_ws.append(k)
+                conv_affs.append(_bn_affine(g, b, m, v))
+                cin = self.stage_ch
+            tot = x.shape[-1] + self.layer_per_block * self.stage_ch
+            rk, rg, rb, rm, rv = _ConcatReduceParams(
+                tot, self.concat_ch, name="concat")()
+            raff = _bn_affine(rg, rb, rm, rv)
+            w2d = rk.reshape(tot, self.concat_ch)
+            widths = [x.shape[-1]] + [self.stage_ch] * self.layer_per_block
+            splits, off = [], 0
+            for wd in widths:
+                splits.append(w2d[off:off + wd])
+                off += wd
+            out, csums = osa_block_fused(
+                x, conv_ws, conv_affs, splits, raff,
+                rows_per_chunk=self.rows_per_chunk,
+                interpret=self.interpret)
+            gap = (csums / float(x.shape[-3] * x.shape[-2]))
+            gap = gap.astype(out.dtype)[:, None, None, :]
+            out = out * _eSEGate(self.concat_ch, name="ese")(gap)
+            if self.identity:
+                out = out + identity_feat
+            return out
         outputs = [x]
         for i in range(self.layer_per_block):
             x = ConvBN(self.stage_ch, kernel=3, padding=1, dtype=x.dtype,
@@ -159,8 +157,23 @@ class VoVNet(nn.Module):
 
     out_stages: Tuple[int, ...] = (2, 3, 4, 5)
     compute_dtype: Optional[str] = "bfloat16"
-    reduce_impl: str = "xla"       # OSA tail: "xla" | "pallas" (see OSABlock)
+    reduce_impl: str = "xla"       # "xla" | "pallas" (measured-best mix
+                                   # of kernels per stage, see below)
+    stage_impls: Optional[Tuple[str, ...]] = None  # explicit per-stage
+                                   # override (experiments): "xla" |
+                                   # "pallas" (fused tail) | "fused"
+                                   # (whole-block kernel)
+    stem_impl: str = "xla"         # "xla" | "phase" (ops/phase_stem.py —
+                                   # same params, conv math re-expressed
+                                   # on the stride-4 phase grid where XLA
+                                   # hits 85-91% MFU instead of 14-30%)
     interpret: bool = False
+
+    # measured-best TPU-inference mix (scripts/bench_osa_block_fused.py,
+    # docs/PERF_NOTES.md): stage2 runs the whole-block fused kernel
+    # (chunked, 29 rows); stage3-5 run the fused-tail kernel
+    PALLAS_STAGE_IMPLS = ("fused", "pallas", "pallas", "pallas")
+    STAGE_CHUNK_ROWS = (29, 29, None, None)
 
     @nn.compact
     def __call__(self, x):
@@ -168,12 +181,23 @@ class VoVNet(nn.Module):
         x = x.astype(dtype)
         spec = V99_SPEC
         s1, s2, s3 = spec["stem"]
-        x = ConvBN(s1, kernel=3, stride=2, padding=1, dtype=dtype,
-                   name="stem1")(x)
-        x = ConvBN(s2, kernel=3, stride=1, padding=1, dtype=dtype,
-                   name="stem2")(x)
-        x = ConvBN(s3, kernel=3, stride=2, padding=1, dtype=dtype,
-                   name="stem3")(x)
+        if self.stem_impl == "phase":
+            from transcar_tpu.ops.phase_stem import vovnet_phase_stem
+
+            k1, *bn1 = ConvBNParams(3, s1, ksize=3, name="stem1")()
+            k2, *bn2 = ConvBNParams(s1, s2, ksize=3, name="stem2")()
+            k3, *bn3 = ConvBNParams(s2, s3, ksize=3, name="stem3")()
+            x = vovnet_phase_stem(
+                x, k1.astype(dtype), bn_affine(*bn1),
+                k2.astype(dtype), bn_affine(*bn2),
+                k3.astype(dtype), bn_affine(*bn3))
+        else:
+            x = ConvBN(s1, kernel=3, stride=2, padding=1, dtype=dtype,
+                       name="stem1")(x)
+            x = ConvBN(s2, kernel=3, stride=1, padding=1, dtype=dtype,
+                       name="stem2")(x)
+            x = ConvBN(s3, kernel=3, stride=2, padding=1, dtype=dtype,
+                       name="stem3")(x)
 
         outs = []
         for si in range(4):
@@ -185,11 +209,12 @@ class VoVNet(nn.Module):
                 pw = (2 * (w // 2 - 1) + 3) - w
                 x = nn.max_pool(x, (3, 3), strides=(2, 2),
                                 padding=[(0, max(ph, 0)), (0, max(pw, 0))])
-            # stage3 (ch 160) is the one shape where the fused tail
-            # measured slower than XLA (scripts/bench_osa_pallas.py, in
-            # docs/PERF_NOTES.md) — keep XLA there
-            impl = ("xla" if si == 1 and self.reduce_impl == "pallas"
-                    else self.reduce_impl)
+            if self.stage_impls is not None:
+                impl = self.stage_impls[si]
+            elif self.reduce_impl == "pallas":
+                impl = self.PALLAS_STAGE_IMPLS[si]
+            else:
+                impl = self.reduce_impl
             for b in range(spec["block_per_stage"][si]):
                 x = OSABlock(
                     spec["stage_conv_ch"][si],
@@ -197,6 +222,8 @@ class VoVNet(nn.Module):
                     spec["layer_per_block"],
                     identity=(b > 0),
                     reduce_impl=impl,
+                    rows_per_chunk=(self.STAGE_CHUNK_ROWS[si]
+                                    if impl == "fused" else None),
                     interpret=self.interpret,
                     name=f"stage{stage_num}_block{b}",
                 )(x)
