@@ -191,8 +191,12 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     stem = m.backbone.stem_impl
     if stem == "auto":
         # the phase stem is differentiable, but training keeps the plain
-        # formulation so train-time numerics match the reference exactly
-        stem = "phase" if on_tpu_infer else "xla"
+        # formulation so train-time numerics match the reference exactly.
+        # Measured (scripts/bench_phase_stem.py): VoVNet 13.0 → 10.2 ms,
+        # but the R101 7×7 maps to a [9,9,3,256] kernel that LOSES
+        # (9.4 → 13.5) — phase is auto only for the VoVNet stem.
+        stem = ("phase" if on_tpu_infer
+                and m.backbone.kind == "vovnet99" else "xla")
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,

@@ -169,10 +169,12 @@ class VoVNet(nn.Module):
                                    # hits 85-91% MFU instead of 14-30%)
     interpret: bool = False
 
-    # measured-best TPU-inference mix (scripts/bench_osa_block_fused.py,
-    # docs/PERF_NOTES.md): stage2 runs the whole-block fused kernel
-    # (chunked, 29 rows); stage3-5 run the fused-tail kernel
-    PALLAS_STAGE_IMPLS = ("fused", "pallas", "pallas", "pallas")
+    # measured-best TPU-inference mix (scripts/bench_vovnet_mixes.py,
+    # docs/PERF_NOTES.md): the fused-TAIL kernel everywhere.  The
+    # whole-block "fused" kernel ties it at model level (94-96 ms both)
+    # but hits remote-compiler failures in some full-model contexts, so
+    # it stays an explicit-opt-in experiment via ``stage_impls``
+    PALLAS_STAGE_IMPLS = ("pallas", "pallas", "pallas", "pallas")
     STAGE_CHUNK_ROWS = (29, 29, None, None)
 
     @nn.compact
