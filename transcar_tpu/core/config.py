@@ -58,6 +58,11 @@ class BackboneConfig:
                                      # offsets |Δy| ≤ (band−4)/2 px (= 5);
                                      # widen for checkpoints with larger
                                      # learned offsets
+    block_impl: str = "auto"         # ResNet stride-1 non-DCN blocks:
+                                     # "auto" | "xla" | "fused" (one
+                                     # Pallas kernel per bottleneck,
+                                     # ops/pallas_bottleneck.py; "auto"
+                                     # → fused on TPU at inference)
     stem_impl: str = "auto"          # backbone stem: "auto" | "xla" |
                                      # "phase" (ops/phase_stem.py: same
                                      # params, conv math on the stride-4

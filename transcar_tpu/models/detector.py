@@ -35,6 +35,8 @@ class TransCARDetector(nn.Module):
                                    # build_model; never "auto" here)
     stem_impl: str = "xla"         # stem formulation (resolved by
                                    # build_model; never "auto" here)
+    block_impl: str = "xla"        # ResNet bottleneck formulation
+                                   # (resolved by build_model)
 
     def setup(self):
         bc = self.cfg.backbone
@@ -46,6 +48,7 @@ class TransCARDetector(nn.Module):
                 dcn_rows_per_step=(self.dcn_rows_per_step
                                    or bc.dcn_rows_per_step),
                 stem_impl=self.stem_impl,
+                block_impl=self.block_impl,
                 name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
@@ -197,7 +200,15 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         # (9.4 → 13.5) — phase is auto only for the VoVNet stem.
         stem = ("phase" if on_tpu_infer
                 and m.backbone.kind == "vovnet99" else "xla")
+    blk = m.backbone.block_impl
+    if blk == "auto":
+        # measured NEGATIVE on the flagship (8.05 → 7.48 samples/s): at
+        # the VMEM-feasible r=8 chunking, halo recompute + the
+        # overlapped pre-copy cost more than XLA's path saves.  The
+        # kernel stays an explicit opt-in experiment.
+        blk = "xla"
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,
-                            osa_reduce_impl=osa, stem_impl=stem)
+                            osa_reduce_impl=osa, stem_impl=stem,
+                            block_impl=blk)

@@ -82,7 +82,12 @@ class DCNConv(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """Caffe-style bottleneck: 1×1(stride)-3×3-1×1 with frozen BN."""
+    """Caffe-style bottleneck: 1×1(stride)-3×3-1×1 with frozen BN.
+
+    ``impl="fused"`` (TPU inference, stride-1 non-DCN blocks) runs the
+    whole block as one Pallas kernel (ops/pallas_bottleneck.py) — the
+    64/128-channel intermediates that make these blocks HBM-bound under
+    XLA never leave VMEM.  Param tree identical either way."""
 
     planes: int
     stride: int = 1
@@ -92,9 +97,36 @@ class Bottleneck(nn.Module):
     dcn_band_rows: int = 16
     dcn_rows_per_step: int = 1
     dcn_interpret: bool = False
+    impl: str = "xla"            # "xla" | "fused" (see class docstring)
 
     @nn.compact
     def __call__(self, x):
+        rows = None
+        if (self.impl == "fused" and self.stride == 1
+                and not self.with_dcn):
+            from transcar_tpu.ops.pallas_bottleneck import _pick_rows
+
+            rows = _pick_rows(x.shape[-3], x.shape[-2], x.shape[-1],
+                              self.planes, self.planes * 4)
+        if rows is not None:
+            from transcar_tpu.models.common import ConvBNParams, bn_affine
+            from transcar_tpu.ops.pallas_bottleneck import bottleneck_fused
+
+            cin = x.shape[-1]
+            k1, *bn1 = ConvBNParams(cin, self.planes, 1, name="conv1")()
+            k2, *bn2 = ConvBNParams(self.planes, self.planes, 3,
+                                    name="conv2")()
+            k3, *bn3 = ConvBNParams(self.planes, self.planes * 4, 1,
+                                    name="conv3")()
+            kw = {}
+            if self.downsample:
+                kd, *bnd = ConvBNParams(cin, self.planes * 4, 1,
+                                        name="downsample")()
+                kw = dict(wd=kd, affd=bn_affine(*bnd))
+            return bottleneck_fused(
+                x, k1, bn_affine(*bn1), k2, bn_affine(*bn2),
+                k3, bn_affine(*bn3), rows_per_chunk=rows,
+                interpret=self.dcn_interpret, **kw)
         identity = x
         out = ConvBN(self.planes, kernel=1, stride=self.stride, relu=True,
                      dtype=x.dtype, name="conv1")(x)
@@ -132,6 +164,9 @@ class ResNet(nn.Module):
     stem_impl: str = "xla"       # "xla" | "phase" (ops/phase_stem.py —
                                  # same params, stem conv+pool on the
                                  # stride-4 phase grid)
+    block_impl: str = "xla"      # "xla" | "fused" — fused Pallas
+                                 # bottleneck for stride-1 non-DCN blocks
+                                 # (ops/pallas_bottleneck.py)
 
     @nn.compact
     def __call__(self, x):
@@ -166,6 +201,7 @@ class ResNet(nn.Module):
                     dcn_band_rows=self.dcn_band_rows,
                     dcn_rows_per_step=self.dcn_rows_per_step,
                     dcn_interpret=self.dcn_interpret,
+                    impl=self.block_impl,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:
