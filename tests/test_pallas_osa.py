@@ -91,3 +91,14 @@ def test_osa_block_pallas_tail_matches_xla_with_same_params():
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(p2)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+    # whole-block fused kernel: same params, same outputs, same tree
+    for rows in (None, 4):
+        fb_blk = OSABlock(stage_ch=16, concat_ch=32, layer_per_block=3,
+                          identity=True, reduce_impl="fused",
+                          rows_per_chunk=rows, interpret=True)
+        got_f = fb_blk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    p3 = fb_blk.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p3) == t1
