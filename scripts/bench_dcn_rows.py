@@ -1,9 +1,11 @@
-"""DCN m-expansion sweep: rows_per_step x band_rows, R101 block shapes.
+"""DCN grid-coarsening sweep: rows_per_step x band_rows, R101 block shapes.
 
 Round-2 phase ablation found the fused kernel bound by a ~10 us
 per-grid-step floor (docs/PERF_NOTES.md); rows_per_step>1 amortizes that
-floor over multiple output rows.  Exactness: |dy| <= (band-4)/2-(rows-1)/2,
-so higher rows pairs with wider bands to keep the shipped |dy|<=5 margin.
+floor over multiple output rows.  Round-3 per-row pipeline: each row in a
+chunk keeps its own band slice/dot, so exactness |dy| <= (band-4)/2 is
+rows-independent (the round-2 shared-band m-expansion traded margin and
+blew up xr VMEM - measured negative, PERF_NOTES).
 """
 import time
 
@@ -15,15 +17,13 @@ from transcar_tpu.ops.pallas_dcn import fused_deform_conv
 
 ITERS = 30
 
-SWEEP = [  # (rows, band) pairs; exact-margin px = (band-4)/2-(rows-1)/2
-    (1, 14),   # shipped default, 5.0 px
-    (2, 14),   # 4.5 px
-    (2, 16),   # 5.5 px
-    (4, 16),   # 4.5 px
-    (4, 18),   # 5.5 px
-    (4, 20),   # 6.5 px
-    (8, 20),   # 4.5 px
-    (8, 24),   # 6.5 px
+SWEEP = [  # (variant, rows, band); exact margin = (band-4)/2 px, any rows
+    ("banded", 1, 14),   # shipped default
+    ("onedot", 1, 14),   # y-weights folded into the one-hot: no xr
+    ("onedot", 2, 14),
+    ("onedot", 4, 14),
+    ("onedot", 8, 14),
+    ("onedot", 4, 16),
 ]
 
 
@@ -44,13 +44,14 @@ def main():
         wt = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, jnp.bfloat16)
         bias = jnp.zeros((c,), jnp.bfloat16)
 
-        for rows, band in SWEEP:
-            def loop_fused(x, om, rows=rows, band=band):
+        for variant, rows, band in SWEEP:
+            def loop_fused(x, om, variant=variant, rows=rows, band=band):
                 def body(i, carry):
                     acc, xx = carry
                     out = fused_deform_conv(xx, om, wt, bias,
                                             band_rows=band,
-                                            rows_per_step=rows)
+                                            rows_per_step=rows,
+                                            variant=variant)
                     return acc + jnp.sum(
                         out[..., 0].astype(jnp.float32)), xx + 1e-6
                 acc, _ = jax.lax.fori_loop(0, ITERS, body,
@@ -61,13 +62,14 @@ def main():
             try:
                 timed(fn, x, om)            # compile
                 dt, s = timed(fn, x, om)
-                margin = (band - 4) / 2 - (rows - 1) / 2
-                print(f"{tag} rows{rows}-B{band} (|dy|<={margin:.1f}px): "
+                margin = (band - 4) / 2
+                print(f"{tag} {variant}-rows{rows}-B{band} "
+                      f"(|dy|<={margin:.1f}px): "
                       f"{dt / ITERS * 1e3:.2f} ms/block (sum {s:.1f})",
                       flush=True)
             except Exception as e:
-                print(f"{tag} rows{rows}-B{band}: FAILED {str(e)[:200]}",
-                      flush=True)
+                print(f"{tag} {variant}-rows{rows}-B{band}: "
+                      f"FAILED {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -123,10 +123,12 @@ def test_resnet_pallas_dcn_matches_exact_at_model_level():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_build_model_rows_per_step_training_forces_one():
-    """rows_per_step is an inference-only knob: the Pallas backward's
-    per-row band placement matches the forward only at rows=1, so
-    build_model(training=True) must force rows=1 regardless of config."""
+def test_build_model_rows_per_step_applies_to_training_too():
+    """Round 3: the forward's per-row pipeline centers each row's band
+    with the SAME formula as the Pallas backward, so rows_per_step is
+    exactness-neutral and build_model keeps the configured value for
+    training and inference alike (grads-match oracle:
+    tests/test_pallas_dcn.py::test_fused_vjp_matches_exact_autodiff)."""
     import dataclasses
 
     import __graft_entry__ as ge
@@ -138,7 +140,7 @@ def test_build_model_rows_per_step_training_forces_one():
             cfg.model, backbone=dataclasses.replace(
                 cfg.model.backbone, dcn_rows_per_step=4)))
     assert build_model(cfg, training=False).dcn_rows_per_step == 4
-    assert build_model(cfg, training=True).dcn_rows_per_step == 1
+    assert build_model(cfg, training=True).dcn_rows_per_step == 4
 
 
 def test_dcn_band_overflow_telemetry_fires():

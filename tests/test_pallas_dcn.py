@@ -28,16 +28,19 @@ def _exact(x, om, weight, bias):
         lambda a, b: modulated_deform_conv(a, b, weight, bias))(x, om)
 
 
-@pytest.mark.parametrize("rows", [1, 2])
-def test_fused_matches_exact_within_band(rows):
+@pytest.mark.parametrize("variant", ["banded", "onedot"])
+@pytest.mark.parametrize("rows", [1, 2, 4, 3])
+def test_fused_matches_exact_within_band(rows, variant):
     rng = np.random.default_rng(0)
-    # B=16, rows → exact |Δy| ≤ 6 − (rows−1)/2; h > B so a genuine band
+    # B=16 → exact |Δy| ≤ 6 for ANY rows (per-row band pipeline);
+    # h > B so a genuine band; rows=3 leaves a ragged padded tail chunk;
+    # W=18 → the onedot variant pads W' to 24 (zero columns must vanish)
     x, om, weight, bias = _case(rng, 2, 40, 18, 8, 16,
                                 offy_scale=5.0, offx_scale=7.0)
     ref = np.asarray(_exact(x, om, weight, bias))
     out = np.asarray(fused_deform_conv(
         x, om, weight, bias, band_rows=16, rows_per_step=rows,
-        interpret=True))
+        variant=variant, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
@@ -113,16 +116,20 @@ def test_fused_vjp_matches_exact_autodiff():
         out = jax.vmap(lambda a, b: modulated_deform_conv(a, b, wt))(x, om)
         return jnp.sum(out * cot)
 
-    def loss_fused(x, om, wt):
-        out = fused_deform_conv_ad(x, om, wt, 16, 1, True)
-        return jnp.sum(out * cot)
-
     args = (jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight))
     ge = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
-    for name, a, b in zip(("d_x", "d_offset_mask", "d_weight"), ge, gf):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-3, atol=2e-3, err_msg=name)
+    # rows_per_step is exactness-neutral (per-row band centering matches
+    # the backward's): grads must match the exact oracle for every value
+    for rows in (1, 4):
+        def loss_fused(x, om, wt, rows=rows):
+            out = fused_deform_conv_ad(x, om, wt, 16, rows, True)
+            return jnp.sum(out * cot)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+        for name, a, b in zip(("d_x", "d_offset_mask", "d_weight"), ge, gf):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3,
+                err_msg=f"{name} rows={rows}")
 
 
 def test_fused_vjp_out_of_band_grads_are_zero():

@@ -233,3 +233,45 @@ def test_fusion_only_training_builds_no_camera_backward():
     for a, b in zip(f0, f1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_no_recompilation_across_steps():
+    """SURVEY §4(d): every shape is static, so the jitted train/eval steps
+    must trace+compile exactly once — later steps with different data
+    (other num_gt, other images) reuse the executable."""
+    import logging
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=24, radar_tokens=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(3)
+    batch = ge._fake_batch(rng, 1, 6, 64, 96, 32, max_gt=4)
+    state, tx = init_state(cfg, model, batch, total_steps=10,
+                           rng=jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, tx)
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger = logging.getLogger("jax")
+    logger.addHandler(handler)
+    try:
+        with jax.log_compiles():
+            batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+            state, _ = step(state, batch_j, jax.random.PRNGKey(1))
+            jax.block_until_ready(state.params)
+            n_first = len([m for m in records if "ompil" in m])
+            assert n_first >= 1, "vacuous: log_compiles captured nothing"
+
+            records.clear()
+            for seed in (7, 8):          # different data, other num_gt
+                nb = ge._fake_batch(np.random.default_rng(seed),
+                                    1, 6, 64, 96, 32, max_gt=4)
+                nb["num_gt"] = np.minimum(nb["num_gt"], seed - 5)
+                state, losses = step(
+                    state, jax.tree_util.tree_map(jnp.asarray, nb),
+                    jax.random.PRNGKey(seed))
+            jax.block_until_ready(state.params)
+            again = [m for m in records if "ompil" in m]
+            assert not again, f"train step retraced: {again[:3]}"
+    finally:
+        logger.removeHandler(handler)

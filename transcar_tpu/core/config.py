@@ -58,6 +58,12 @@ class BackboneConfig:
                                      # offsets |Δy| ≤ (band−4)/2 px (= 5);
                                      # widen for checkpoints with larger
                                      # learned offsets
+    dcn_variant: str = "banded"      # pallas forward formulation:
+                                     # "banded" (one-hot dot + VPU
+                                     # y-blend) | "onedot" (y folded into
+                                     # the one-hot, single dot).  Same
+                                     # band semantics; measured tie on
+                                     # v5e (docs/PERF_NOTES.md)
     block_impl: str = "auto"         # ResNet stride-1 non-DCN blocks:
                                      # "auto" | "xla" | "fused" (one
                                      # Pallas kernel per bottleneck,
@@ -74,15 +80,13 @@ class BackboneConfig:
                                      # (ops/pallas_osa.py) on TPU at
                                      # inference; XLA for training/CPU
                                      # (kernel is forward-only)
-    dcn_rows_per_step: int = 1       # pallas m-expansion: output rows per
-                                     # grid step (amortizes the ~10 µs
+    dcn_rows_per_step: int = 1       # pallas grid coarsening: output rows
+                                     # per grid step (amortizes the ~10 µs
                                      # per-step floor, docs/PERF_NOTES.md).
-                                     # Rows share one band centered on the
-                                     # chunk, so exactness shrinks to
-                                     # |Δy| ≤ (band−4)/2 − (rows−1)/2 px;
-                                     # training always runs rows=1 (the
-                                     # backward band matches the forward
-                                     # only there — models/detector.py)
+                                     # Each row keeps its own band slice,
+                                     # so exactness is rows-independent
+                                     # and the knob applies to training
+                                     # and inference alike
 
 
 @dataclass(frozen=True)

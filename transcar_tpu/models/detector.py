@@ -47,6 +47,7 @@ class TransCARDetector(nn.Module):
                 dcn_band_rows=self.dcn_band_rows or bc.dcn_band_rows,
                 dcn_rows_per_step=(self.dcn_rows_per_step
                                    or bc.dcn_rows_per_step),
+                dcn_variant=bc.dcn_variant,
                 stem_impl=self.stem_impl,
                 block_impl=self.block_impl,
                 name="backbone")
@@ -182,10 +183,11 @@ def build_model(cfg: TransCARConfig, training: bool = False):
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape)
-    # m-expansion (rows_per_step > 1) is inference-only: the Pallas
-    # backward centers its band per-row, which matches the forward's
-    # shared-per-chunk band only at rows=1 (ops/pallas_dcn.py)
-    rows = 1 if training else m.backbone.dcn_rows_per_step
+    # rows_per_step (grid coarsening): the forward's per-row pipeline
+    # and the Pallas backward center the band with the same per-row
+    # formula, so the knob is exactness-neutral for training and
+    # inference alike (ops/pallas_dcn.py)
+    rows = m.backbone.dcn_rows_per_step
     on_tpu_infer = not training and jax.default_backend() == "tpu"
     osa = m.backbone.osa_reduce_impl
     if osa == "auto":

@@ -42,7 +42,8 @@ class DCNConv(nn.Module):
     stride: int = 1
     impl: str = "exact"        # "exact" (autodiff-able XLA gather) |
     band_rows: int = 16        # "pallas" (fused inference kernel)
-    rows_per_step: int = 1     # pallas m-expansion (see BackboneConfig)
+    rows_per_step: int = 1     # pallas grid coarsening (see BackboneConfig)
+    variant: str = "banded"    # pallas formulation (see ops/pallas_dcn.py)
     interpret: bool = False    # pallas interpret mode (CPU tests)
 
     @nn.compact
@@ -69,13 +70,13 @@ class DCNConv(nn.Module):
             # can audit real checkpoints against the shipped band; free
             # when "intermediates" is not mutable.
             if not self.is_initializing():
-                margin = ((self.band_rows - 4) / 2
-                          - (self.rows_per_step - 1) / 2)
+                margin = (self.band_rows - 4) / 2
                 dy = om[..., 0:18:2].astype(jnp.float32)
                 self.sow("intermediates", "dcn_overflow_frac",
                          jnp.mean((jnp.abs(dy) > margin).astype(jnp.float32)))
             return fused_deform_conv_ad(x, om, weight, self.band_rows,
-                                        self.rows_per_step, self.interpret)
+                                        self.rows_per_step, self.interpret,
+                                        self.variant)
         fn = lambda xi, omi: modulated_deform_conv(
             xi, omi, weight, stride=self.stride, padding=1)
         return jax.vmap(fn)(x, om)
@@ -96,6 +97,7 @@ class Bottleneck(nn.Module):
     dcn_impl: str = "exact"
     dcn_band_rows: int = 16
     dcn_rows_per_step: int = 1
+    dcn_variant: str = "banded"
     dcn_interpret: bool = False
     impl: str = "xla"            # "xla" | "fused" (see class docstring)
 
@@ -134,6 +136,7 @@ class Bottleneck(nn.Module):
             out = DCNConv(self.planes, self.planes, impl=self.dcn_impl,
                           band_rows=self.dcn_band_rows,
                           rows_per_step=self.dcn_rows_per_step,
+                          variant=self.dcn_variant,
                           interpret=self.dcn_interpret, name="conv2")(out)
             out = FrozenBN(self.planes, name="bn2")(out)
             out = nn.relu(out)
@@ -160,6 +163,7 @@ class ResNet(nn.Module):
     dcn_impl: str = "exact"      # "exact" | "pallas" (see models docstring)
     dcn_band_rows: int = 16
     dcn_rows_per_step: int = 1
+    dcn_variant: str = "banded"  # pallas formulation (ops/pallas_dcn.py)
     dcn_interpret: bool = False  # pallas interpret mode (CPU tests)
     stem_impl: str = "xla"       # "xla" | "phase" (ops/phase_stem.py —
                                  # same params, stem conv+pool on the
@@ -200,6 +204,7 @@ class ResNet(nn.Module):
                     dcn_impl=self.dcn_impl,
                     dcn_band_rows=self.dcn_band_rows,
                     dcn_rows_per_step=self.dcn_rows_per_step,
+                    dcn_variant=self.dcn_variant,
                     dcn_interpret=self.dcn_interpret,
                     impl=self.block_impl,
                     name=f"layer{stage + 1}_{b}",

@@ -57,48 +57,112 @@ def _kernel(x_ref, omp_ref, w_ref, o_ref, *, hp, w, cin, cout, band,
              in-kernel)
     w_ref:   [9, C, Cout]   conv weights, tap-major
     o_ref:   [1, 1, rows, W, Cout]
+
+    ``rows`` > 1 amortizes the ~10 µs per-grid-step floor (output DMA +
+    step machinery, docs/PERF_NOTES.md phase ablation) over several
+    output rows.  Each row keeps its OWN band slice, one-hot dot and
+    fused conv — the round-2 shared-band m-expansion grew xr to
+    [rows·9W, B·C] (VMEM blowup) and cost (rows−1)/2 px of exactness;
+    the per-row pipeline keeps xr one-row-sized and the exact margin
+    rows-independent, and matches the backward kernel's per-row band
+    centering for every ``rows``.
     """
     r0 = pl.program_id(1) * rows
-    m = rows * w * 9
-    # one shared band per chunk, centered on the middle row
-    s = jnp.clip(r0 + (rows - 1) // 2 - (band - 4) // 2 - 1, 0, hp - band)
+    m = w * 9
 
-    # per-p quantities are PRECOMPUTED outside (floor/sigmoid/tap-index
-    # arithmetic is row-independent because floor(r + ky + dy) =
-    # r + ky + floor(dy) for integer r): lane 0 = absolute y0, 1 = fy,
-    # 2 = absolute x0, 3 = fx, 4 = σ(mask).  The kernel only builds the
-    # two one-hots — in-kernel [m, 1]-column chains ran at 1/128 lane
-    # utilization and dominated the ablated assembly cost.
-    omp = omp_ref[0, 0]
-    y0r = omp[:, 0:1].astype(jnp.int32) - s         # band-relative
-    fy = omp[:, 1:2]
-    x0 = omp[:, 2:3].astype(jnp.int32)
-    fx = omp[:, 3:4]
-    mk = omp[:, 4:5]
+    for rr_i in range(rows):
+        # per-row band, centered like the rows=1 kernel (and the bwd)
+        s = jnp.clip(r0 + rr_i - (band - 4) // 2 - 1, 0, hp - band)
 
-    jj = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1)
-    wx = (jnp.where(jj == x0, 1.0 - fx, 0.0)
-          + jnp.where(jj == x0 + 1, fx, 0.0)) * mk  # [m, W]
-    bb = jax.lax.broadcasted_iota(jnp.int32, (m, band), 1)
-    wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
-          + jnp.where(bb == y0r + 1, fy, 0.0))      # [m, B]
+        # per-p quantities are PRECOMPUTED outside (floor/sigmoid/
+        # tap-index arithmetic is row-independent because
+        # floor(r + ky + dy) = r + ky + floor(dy) for integer r):
+        # lane 0 = absolute y0, 1 = fy, 2 = absolute x0, 3 = fx,
+        # 4 = σ(mask).  The kernel only builds the two one-hots —
+        # in-kernel [m, 1]-column chains ran at 1/128 lane utilization
+        # and dominated the ablated assembly cost.
+        omp = omp_ref[0, 0, rr_i * m:(rr_i + 1) * m]    # static sublane
+        y0r = omp[:, 0:1].astype(jnp.int32) - s         # band-relative
+        fy = omp[:, 1:2]
+        x0 = omp[:, 2:3].astype(jnp.int32)
+        fx = omp[:, 3:4]
+        mk = omp[:, 4:5]
 
-    xband = x_ref[0, :, pl.ds(pl.multiple_of(s * cin, cin), band * cin)]
-    xr = jax.lax.dot_general(
-        wx.astype(x_ref.dtype), xband,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)         # [m, B·C]
-    acc = jnp.zeros((m, cin), jnp.float32)
-    for b in range(band):                           # static lane slices
-        acc = acc + wy[:, b:b + 1] * xr[:, b * cin:(b + 1) * cin]
-    sampled = acc.astype(x_ref.dtype)               # [m, C]
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m, w), 1)
+        wx = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+              + jnp.where(jj == x0 + 1, fx, 0.0)) * mk  # [m, W]
+        bb = jax.lax.broadcasted_iota(jnp.int32, (m, band), 1)
+        wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
+              + jnp.where(bb == y0r + 1, fy, 0.0))      # [m, B]
 
-    for rr_i in range(rows):                        # static ref stores
+        xband = x_ref[0, :,
+                      pl.ds(pl.multiple_of(s * cin, cin), band * cin)]
+        xr = jax.lax.dot_general(
+            wx.astype(x_ref.dtype), xband,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [m, B·C]
+        acc = jnp.zeros((m, cin), jnp.float32)
+        for b in range(band):                           # static lane slices
+            acc = acc + wy[:, b:b + 1] * xr[:, b * cin:(b + 1) * cin]
+        sampled = acc.astype(x_ref.dtype)               # [m, C]
+
         o = jnp.zeros((w, cout), jnp.float32)
         for k in range(9):
-            base = (rr_i * 9 + k) * w
             o = o + jax.lax.dot_general(
-                sampled[base:base + w, :], w_ref[k],
+                sampled[k * w:(k + 1) * w, :], w_ref[k],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0, 0, rr_i] = o.astype(o_ref.dtype)
+
+
+def _kernel_onedot(x_ref, omp_ref, w_ref, o_ref, *, hp, w, wpad, cin,
+                   cout, band, rows):
+    """One (image, row-chunk) grid step — single-dot sampling variant.
+
+    The banded kernel's [9W, B·C] fp32 ``xr`` intermediate costs ~15 MB
+    of VMEM read/write per output row (the measured per-row floor after
+    grid coarsening flattened the step count without moving the time).
+    Here the y-bilinear folds INTO the one-hot: w2[p, b·W' + j] =
+    wy[p, b]·wx[p, j]·σ(mask), so sampling is ONE dot
+    ``[9W, B·W'] × [B·W', C] → [9W, C]`` — identical FLOPs, no xr.
+
+    x_ref: [1, H'·W', C] row-major flat image, W' = W padded to 8k so the
+    band start s·W' is a provably 8-aligned SUBLANE slice; padding
+    columns are zero, so one-hot hits at j ∈ [W, W') contribute exact
+    zeros (same out-of-image semantics as the banded kernel).
+    """
+    r0 = pl.program_id(1) * rows
+    m = w * 9
+
+    for rr_i in range(rows):
+        s = jnp.clip(r0 + rr_i - (band - 4) // 2 - 1, 0, hp - band)
+        omp = omp_ref[0, 0, rr_i * m:(rr_i + 1) * m]
+        y0r = omp[:, 0:1].astype(jnp.int32) - s
+        fy = omp[:, 1:2]
+        x0 = omp[:, 2:3].astype(jnp.int32)
+        fx = omp[:, 3:4]
+        mk = omp[:, 4:5]
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (m, band * wpad), 1)
+        bi = jj // wpad
+        col = jj - bi * wpad
+        wcol = (jnp.where(col == x0, 1.0 - fx, 0.0)
+                + jnp.where(col == x0 + 1, fx, 0.0))
+        wrow = (jnp.where(bi == y0r, 1.0 - fy, 0.0)
+                + jnp.where(bi == y0r + 1, fy, 0.0))
+        w2 = (wcol * wrow * mk).astype(x_ref.dtype)     # [m, B·W']
+
+        xband = x_ref[0, pl.ds(pl.multiple_of(s * wpad, 8), band * wpad), :]
+        sampled = jax.lax.dot_general(
+            w2, xband,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [m, C]
+        sampled = sampled.astype(x_ref.dtype)
+
+        o = jnp.zeros((w, cout), jnp.float32)
+        for k in range(9):
+            o = o + jax.lax.dot_general(
+                sampled[k * w:(k + 1) * w, :], w_ref[k],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         o_ref[0, 0, rr_i] = o.astype(o_ref.dtype)
@@ -106,18 +170,19 @@ def _kernel(x_ref, omp_ref, w_ref, o_ref, *, hp, w, cin, cout, band,
 
 @functools.partial(jax.jit,
                    static_argnames=("band_rows", "rows_per_step",
-                                    "interpret"))
+                                    "variant", "interpret"))
 def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
                       weight: jnp.ndarray,
                       bias: jnp.ndarray | None = None,
                       band_rows: int = 16,
                       rows_per_step: int = 1,
+                      variant: str = "banded",
                       interpret: bool = False) -> jnp.ndarray:
     """Batched fused DCNv2, stride 1 / pad 1 / dilation 1.
 
-    Exact for |Δy| ≤ (band_rows − 4)/2 − (rows_per_step − 1)/2 (Δx
-    unrestricted); when the band covers the padded image it is exact for
-    arbitrary offsets.
+    Exact for |Δy| ≤ (band_rows − 4)/2 (Δx unrestricted) for ANY
+    ``rows_per_step`` — each row in a chunk slices its own band; when
+    the band covers the padded image it is exact for arbitrary offsets.
 
     Args:
       x: [N, H, W, Cin]; offset_mask: [N, H, W, 27] raw conv_offset
@@ -133,10 +198,27 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     rows = rows_per_step
     hr = -(-h // rows) * rows
 
-    # [N, W, H'·C]: the row band becomes a 128-aligned lane slice
-    xt = jnp.transpose(x, (0, 2, 1, 3))
-    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
-    xt = xt.reshape(n, w, hp * cin)
+    if variant == "onedot":
+        # [N, H'·W', C] row-major flat: the band is an 8-aligned sublane
+        # slice; W' = W padded to a multiple of 8 with zero columns
+        wpad = -(-w // 8) * 8
+        xf = jnp.pad(x, ((0, 0), (0, hp - h), (0, wpad - w), (0, 0)))
+        xf = xf.reshape(n, hp * wpad, cin)
+        kern = functools.partial(_kernel_onedot, hp=hp, w=w, wpad=wpad,
+                                 cin=cin, cout=cout, band=band, rows=rows)
+        x_spec = pl.BlockSpec((1, hp * wpad, cin), lambda ni, r: (ni, 0, 0),
+                              memory_space=pltpu.VMEM)
+        x_in = xf
+    else:
+        # [N, W, H'·C]: the row band becomes a 128-aligned lane slice
+        xt = jnp.transpose(x, (0, 2, 1, 3))
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        xt = xt.reshape(n, w, hp * cin)
+        kern = functools.partial(_kernel, hp=hp, w=w, cin=cin, cout=cout,
+                                 band=band, rows=rows)
+        x_spec = pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
+                              memory_space=pltpu.VMEM)
+        x_in = xt
 
     # per-p (k-major) precomputed columns: lane 0=y0, 1=fy, 2=x0, 3=fx,
     # 4=σ(mask) — see _kernel (shared with the backward)
@@ -147,12 +229,10 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
     w9 = weight.reshape(9, cin, cout).astype(x.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hp=hp, w=w, cin=cin, cout=cout,
-                          band=band, rows=rows),
+        kern,
         grid=(n, hr // rows),
         in_specs=[
-            pl.BlockSpec((1, w, hp * cin), lambda ni, r: (ni, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((1, 1, rows * 9 * w, 8),
                          lambda ni, r: (ni, r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -170,7 +250,7 @@ def fused_deform_conv(x: jnp.ndarray, offset_mask: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xt, omp, w9)
+    )(x_in, omp, w9)
     out = out.reshape(n, hr, w, cout)[:, :h]
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -365,9 +445,10 @@ def _fused_dcn_bwd_impl(x, offset_mask, weight, d_out, band_rows,
     return d_x, d_om, d_w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_deform_conv_ad(x, offset_mask, weight, band_rows=16,
-                         rows_per_step=1, interpret=False):
+                         rows_per_step=1, interpret=False,
+                         variant="banded"):
     """Differentiable fused DCNv2 (no bias): forward is
     :func:`fused_deform_conv`; backward is the transposed-one-hot-matmul
     Pallas kernel above.  Gradients are the exact gradients of the
@@ -375,26 +456,28 @@ def fused_deform_conv_ad(x, offset_mask, weight, band_rows=16,
     both directions), validated against the exact path's autodiff in
     tests/test_pallas_dcn.py.
 
-    ``rows_per_step`` (m-expansion) is an inference-throughput knob: the
-    backward kernel centers its band per-row, which matches the forward's
-    shared-per-chunk band placement only at rows=1 — build_model forces
-    rows=1 whenever ``training=True`` so training gradients stay exact."""
+    ``rows_per_step`` is a pure throughput knob: both the forward's
+    per-row pipeline and the backward kernel center the band per output
+    row with the same formula, so gradients stay exact for any value.
+    ``variant`` selects the forward formulation (same math, same band
+    semantics — see :func:`fused_deform_conv`); the backward is shared."""
     return fused_deform_conv(x, offset_mask, weight, None,
                              band_rows=band_rows,
                              rows_per_step=rows_per_step,
-                             interpret=interpret)
+                             variant=variant, interpret=interpret)
 
 
 def _fused_ad_fwd(x, offset_mask, weight, band_rows, rows_per_step,
-                  interpret):
+                  interpret, variant):
     out = fused_deform_conv(x, offset_mask, weight, None,
                             band_rows=band_rows,
                             rows_per_step=rows_per_step,
-                            interpret=interpret)
+                            variant=variant, interpret=interpret)
     return out, (x, offset_mask, weight)
 
 
-def _fused_ad_bwd(band_rows, rows_per_step, interpret, res, d_out):
+def _fused_ad_bwd(band_rows, rows_per_step, interpret, variant, res,
+                  d_out):
     x, offset_mask, weight = res
     return _fused_dcn_bwd_impl(x, offset_mask, weight,
                                d_out.astype(x.dtype), band_rows, interpret)
