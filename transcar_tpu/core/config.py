@@ -173,6 +173,11 @@ class DataConfig:
     to_rgb: bool = False
     pad_divisor: int = 32
     img_hw: Tuple[int, int] = (928, 1600)   # 900×1600 padded to ÷32
+    normalize_on_device: bool = True  # ship uint8 over host→device (4×
+                                      # fewer bytes) and normalize inside
+                                      # the jitted step; bit-exact for
+                                      # eval, train photometric aug
+                                      # rounds to uint8 (see data/loader)
     radar_sweeps: int = 5
     use_cbgs: bool = False
     # static GT padding for jit (SURVEY §7.3); the on-device Hungarian

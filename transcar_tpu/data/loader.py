@@ -4,7 +4,11 @@ Replaces mmdet3d's ``build_dataloader`` (4 worker processes, config :189)
 with a thread-pool prefetcher producing static-shape numpy batches ready
 for the sharded jit step:
 
-  images       [B, N_cams, H, W, 3] float32 (normalized, padded ÷32)
+  images       [B, N_cams, H, W, 3] uint8 BGR (padded ÷32; normalized
+                               on device — DataConfig.normalize_on_device,
+                               4× fewer host→device bytes) or float32
+                               pre-normalized when that flag is off
+  img_shape    [B, 2] int32   pre-pad content extent (uint8 route only)
   lidar2img    [B, N_cams, 4, 4]
   radar_tokens [B, T, 36]          (optional)
   gt_boxes     [B, G_max, 9]  gravity-center z (loss convention,
@@ -43,18 +47,38 @@ def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
                    rng: Optional[np.random.Generator] = None,
                    radar_fn: Optional[Callable[[str], np.ndarray]] = None,
                    ) -> Dict[str, np.ndarray]:
-    """Full per-sample host pipeline → dict of static-shape arrays."""
+    """Full per-sample host pipeline → dict of static-shape arrays.
+
+    With ``cfg.normalize_on_device`` (the TPU-first default) images leave
+    the host as PADDED uint8 BGR plus an ``img_shape`` content-extent
+    record; the jitted step applies the normalize + pad-zero semantics
+    on device (train/step.py::normalize_batch_images) — 4× fewer
+    host→device bytes (6×928×1600×3: 107 → 27 MB/sample).  Bit-exact
+    for the eval pipeline (same fp32 math on the same integers); the
+    train-only photometric aug output is rounded back to uint8
+    (< 0.5/255 intensity)."""
     imgs = pp.load_multiview_images(sample.img_paths)
     if training and cfg.photometric_distortion:
         imgs = pp.photometric_distortion(imgs, rng or np.random.default_rng())
-    imgs = pp.normalize_images(imgs, cfg.img_mean, cfg.img_std, cfg.to_rgb)
-    imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
-    images = pp.stack_views(imgs)
+    if cfg.normalize_on_device:
+        imgs = [np.clip(np.rint(im), 0, 255).astype(np.uint8)
+                for im in imgs]
+        img_shape = np.asarray(imgs[0].shape[:2], np.int32)
+        imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
+        images = pp.stack_views(imgs, dtype=np.uint8)
+    else:
+        img_shape = None
+        imgs = pp.normalize_images(imgs, cfg.img_mean, cfg.img_std,
+                                   cfg.to_rgb)
+        imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
+        images = pp.stack_views(imgs)
 
     out: Dict[str, np.ndarray] = {
         "images": images,
         "lidar2img": sample.lidar2img,
     }
+    if img_shape is not None:
+        out["img_shape"] = img_shape
     if radar_fn is not None:
         out["radar_tokens"] = radar_fn(sample.token)
     boxes, labels, n = pad_gt(sample.gt_boxes, sample.gt_labels,

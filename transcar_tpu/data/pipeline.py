@@ -128,8 +128,8 @@ def photometric_distortion(
     return out
 
 
-def stack_views(imgs: List[np.ndarray]) -> np.ndarray:
-    return np.stack(imgs, axis=0).astype(np.float32)
+def stack_views(imgs: List[np.ndarray], dtype=np.float32) -> np.ndarray:
+    return np.stack(imgs, axis=0).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,36 @@ class TrainState(NamedTuple):
     batch_stats: Any = {}
 
 
+def normalize_batch_images(batch: Dict[str, jnp.ndarray], dc) -> Dict:
+    """On-device analog of NormalizeMultiviewImage + PadMultiViewImage(0)
+    for uint8-transferred batches (DataConfig.normalize_on_device —
+    4× fewer host→device bytes; data/loader.py::prepare_sample).
+
+    No-op for float batches (bench/tests feed pre-normalized fp32).
+    ``img_shape`` [B, 2] records the pre-pad content extent so padding
+    stays exactly 0 in normalized space, matching the host pipeline's
+    normalize-then-pad order (pipeline.py:47-56)."""
+    imgs = batch.get("images")
+    if imgs is None or imgs.dtype != jnp.uint8:
+        return batch
+    x = imgs.astype(jnp.float32)
+    if dc.to_rgb:
+        x = x[..., ::-1]
+    mean = jnp.asarray(dc.img_mean, jnp.float32)
+    std = jnp.asarray(dc.img_std, jnp.float32)
+    x = (x - mean) / std
+    hw = batch.get("img_shape")
+    if hw is not None:                         # zero the padded border
+        rows = jnp.arange(x.shape[-3])[None, None, :, None]
+        cols = jnp.arange(x.shape[-2])[None, None, None, :]
+        mask = ((rows < hw[:, 0][:, None, None, None])
+                & (cols < hw[:, 1][:, None, None, None]))
+        x = x * mask[..., None].astype(x.dtype)
+    out = dict(batch)
+    out["images"] = x
+    return out
+
+
 def apply_model(model, params, batch, train: bool, rngs=None,
                 batch_stats=None, stop_camera_grad: bool = False):
     """Dispatch on batch modality: camera/fusion batches carry ``images``;
@@ -60,6 +90,7 @@ def apply_model(model, params, batch, train: bool, rngs=None,
 def init_state(cfg: TransCARConfig, model, sample_batch,
                total_steps: int, rng: jax.Array) -> Tuple[TrainState, Any]:
     """Initialize params + optimizer from an example (host-side) batch."""
+    sample_batch = normalize_batch_images(sample_batch, cfg.data)
     if "points" in sample_batch:
         variables = model.init(rng, sample_batch["points"],
                                sample_batch["num_points"])
@@ -93,6 +124,7 @@ def make_train_step(cfg: TransCARConfig, model, tx,
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        batch = normalize_batch_images(batch, cfg.data)
         step_rng = jax.random.fold_in(rng, state.step)
         gm_rng, do_rng = jax.random.split(step_rng)
 
@@ -134,6 +166,7 @@ def make_eval_step(cfg: TransCARConfig, model, mesh=None):
     averages, LiDAR track) rides as an optional extra argument."""
 
     def eval_step(params, batch, batch_stats=None):
+        batch = normalize_batch_images(batch, cfg.data)
         preds = apply_model(model, params, batch, train=False,
                             batch_stats=batch_stats)
         return nms_free_decode(preds, cfg.model.head)
