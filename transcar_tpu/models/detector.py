@@ -195,13 +195,12 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         osa = "pallas" if on_tpu_infer else "xla"
     stem = m.backbone.stem_impl
     if stem == "auto":
-        # the phase stem is differentiable, but training keeps the plain
-        # formulation so train-time numerics match the reference exactly.
-        # Measured (scripts/bench_phase_stem.py): VoVNet 13.0 → 10.2 ms,
-        # but the R101 7×7 maps to a [9,9,3,256] kernel that LOSES
-        # (9.4 → 13.5) — phase is auto only for the VoVNet stem.
-        stem = ("phase" if on_tpu_infer
-                and m.backbone.kind == "vovnet99" else "xla")
+        # phase stem stays opt-in: it wins in ISOLATION (VoVNet stem
+        # 13.0 → 10.2 ms, scripts/bench_phase_stem.py) but LOSES at the
+        # full-model level (9.01 vs 9.16 samples/s bs1; two independent
+        # runs agree — docs/PERF_NOTES.md "context beats isolation").
+        # The R101 7×7 phase form loses everywhere (9.4 → 13.5).
+        stem = "xla"
     blk = m.backbone.block_impl
     if blk == "auto":
         # measured NEGATIVE on the flagship (8.05 → 7.48 samples/s): at
