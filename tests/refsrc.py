@@ -154,7 +154,7 @@ def install_stubs():
                 "TransformerLayerSequence", (_BaseModule,), {}),
             build_transformer_layer_sequence=lambda cfg: None)
     _module("mmcv.runner", force_fp32=lambda **k: (lambda f: f),
-            auto_fp16=lambda **k: (lambda f: f))
+            auto_fp16=lambda **k: (lambda f: f), BaseModule=_BaseModule)
     _module("mmcv.runner.base_module", BaseModule=_BaseModule)
 
     # ---- mmdet ----
@@ -169,6 +169,7 @@ def install_stubs():
             build_match_cost=_build_match_cost, FocalLossCost=_FocalLossCost)
     _module("mmdet.core.bbox.match_costs.builder", MATCH_COST=_Registry())
     _module("mmdet.models", HEADS=_Registry(), DETECTORS=_Registry())
+    _module("mmdet.models.builder", BACKBONES=_Registry())
     _module("mmdet.models.utils")
     _module("mmdet.models.utils.builder", TRANSFORMER=_Registry())
     _module("mmdet.models.utils.transformer",
@@ -283,3 +284,8 @@ def ref_dgcnn_attn():
     return load_ref_module(
         "projects/mmdet3d_plugin/models/utils/dgcnn_attn.py",
         "ref_dgcnn_attn")
+
+
+def ref_vovnet():
+    return load_ref_module(
+        "projects/mmdet3d_plugin/models/backbones/vovnet.py", "ref_vovnet")
