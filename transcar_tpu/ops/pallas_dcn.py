@@ -328,17 +328,19 @@ def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
                             preferred_element_type=jnp.float32)
         for k in range(9)], axis=0)                        # [9W, C]
 
+    # ONE pass over the band: the d_fy/d_fx reductions are reassociated
+    # (Σ_b coeff_b · Σ_c xr_b·d_samp  →  Σ_c (Σ_b coeff_b·xr_b)·d_samp)
+    # so each band step is 3 multiply-adds instead of 5 passes
     sampled_nomk = jnp.zeros((m, cin), jnp.float32)
-    d_fy = jnp.zeros((m, 1), jnp.float32)
-    d_fx = jnp.zeros((m, 1), jnp.float32)
+    ydy = jnp.zeros((m, cin), jnp.float32)
+    ydx = jnp.zeros((m, cin), jnp.float32)
     for b in range(band):
         xr_b = xr_raw[:, b * cin:(b + 1) * cin]
         sampled_nomk = sampled_nomk + wy[:, b:b + 1] * xr_b
-        rc = jnp.sum(xr_b * d_samp, axis=1, keepdims=True)
-        d_fy = d_fy + dwy[:, b:b + 1] * rc
-        rc_dx = jnp.sum(xr_dx_raw[:, b * cin:(b + 1) * cin] * d_samp,
-                        axis=1, keepdims=True)
-        d_fx = d_fx + wy[:, b:b + 1] * rc_dx
+        ydy = ydy + dwy[:, b:b + 1] * xr_b
+        ydx = ydx + wy[:, b:b + 1] * xr_dx_raw[:, b * cin:(b + 1) * cin]
+    d_fy = jnp.sum(ydy * d_samp, axis=1, keepdims=True)
+    d_fx = jnp.sum(ydx * d_samp, axis=1, keepdims=True)
     d_mk = jnp.sum(sampled_nomk * d_samp, axis=1, keepdims=True)
     zeros = jnp.zeros((m, 1), jnp.float32)
     dofs_ref[0, 0] = jnp.concatenate(
@@ -352,17 +354,21 @@ def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # the scatter, as a matmul: d_xband = wx_rawᵀ × (wy ⊗ mk·d_samp)
+    # the scatter, as per-band matmuls straight into the dx accumulator:
+    # d_xband_b = wx_rawᵀ × (wy_b ⊙ mk·d_samp).  Same total MXU FLOPs as
+    # the one big [W,9W]×[9W,B·C] dot but WITHOUT materializing the
+    # [9W, B·C] fp32 d_xr buffer (~15 MB of VMEM write/read per step —
+    # the measured hot spot of the original kernel)
     d_samp_m = mk * d_samp
-    d_xr = jnp.concatenate(
-        [wy[:, b:b + 1] * d_samp_m for b in range(band)],
-        axis=1)                                            # [9W, B·C]
-    d_xband = jax.lax.dot_general(
-        wx_raw.astype(jnp.float32), d_xr,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [W, B·C]
-    sl = pl.ds(pl.multiple_of(s * cin, cin), band * cin)
-    dx_ref[0, :, sl] += d_xband
+    wx_f32 = wx_raw.astype(jnp.float32)
+    for b in range(band):
+        t_b = wy[:, b:b + 1] * d_samp_m                    # [9W, C]
+        dxb = jax.lax.dot_general(
+            wx_f32, t_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [W, C]
+        sl = pl.ds(pl.multiple_of((s + b) * cin, cin), cin)
+        dx_ref[0, :, sl] += dxb
 
 
 def _omp_precompute(offset_mask, n, h, w):
