@@ -310,16 +310,6 @@ def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
     dwy = (jnp.where(bb == y0r + 1, 1.0, 0.0)
            - jnp.where(bb == y0r, 1.0, 0.0))
 
-    xband = x_ref[0, :, pl.ds(pl.multiple_of(s * cin, cin), band * cin)]
-    xr_raw = jax.lax.dot_general(                          # [9W, B·C]
-        wx_raw.astype(x_ref.dtype), xband,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    xr_dx_raw = jax.lax.dot_general(
-        dwx_raw.astype(x_ref.dtype), xband,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
     # recomputed mk-free resample + reductions against d_sampled
     do = do_ref[0, 0].astype(jnp.float32)                  # [W, Cout]
     d_samp = jnp.concatenate([
@@ -327,18 +317,40 @@ def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
         for k in range(9)], axis=0)                        # [9W, C]
+    d_samp_m = mk * d_samp
 
-    # ONE pass over the band: the d_fy/d_fx reductions are reassociated
+    # ONE pass over the band, fully streamed: each band row b is gathered
+    # with a [2m,W]×[W,C] dot (wx and its derivative stacked into one
+    # MXU call) and scattered back with a [W,9W]×[9W,C] dot — the
+    # [9W, B·C] fp32 xr/xr_dx/d_xr buffers of earlier designs (~22 MB
+    # EACH at band 24, the scoped-VMEM OOM that kept the full-training
+    # auto-widened band from compiling at all) never exist.  The d_fy /
+    # d_fx reductions are reassociated
     # (Σ_b coeff_b · Σ_c xr_b·d_samp  →  Σ_c (Σ_b coeff_b·xr_b)·d_samp)
-    # so each band step is 3 multiply-adds instead of 5 passes
+    # so the band loop carries three [m, C] accumulators.
+    wxc = jnp.concatenate([wx_raw, dwx_raw],
+                          axis=0).astype(x_ref.dtype)      # [2m, W]
+    wx_f32 = wx_raw.astype(jnp.float32)
     sampled_nomk = jnp.zeros((m, cin), jnp.float32)
     ydy = jnp.zeros((m, cin), jnp.float32)
     ydx = jnp.zeros((m, cin), jnp.float32)
     for b in range(band):
-        xr_b = xr_raw[:, b * cin:(b + 1) * cin]
+        sl = pl.ds(pl.multiple_of((s + b) * cin, cin), cin)
+        xband_b = x_ref[0, :, sl]                          # [W, C]
+        both = jax.lax.dot_general(
+            wxc, xband_b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [2m, C]
+        xr_b = both[:m]
         sampled_nomk = sampled_nomk + wy[:, b:b + 1] * xr_b
         ydy = ydy + dwy[:, b:b + 1] * xr_b
-        ydx = ydx + wy[:, b:b + 1] * xr_dx_raw[:, b * cin:(b + 1) * cin]
+        ydx = ydx + wy[:, b:b + 1] * both[m:]
+        # the scatter, transposed: d_xband_b = wx_rawᵀ × (wy_b ⊙ mk·d_samp)
+        dxb = jax.lax.dot_general(
+            wx_f32, wy[:, b:b + 1] * d_samp_m,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [W, C]
+        dx_ref[0, :, sl] += dxb
     d_fy = jnp.sum(ydy * d_samp, axis=1, keepdims=True)
     d_fx = jnp.sum(ydx * d_samp, axis=1, keepdims=True)
     d_mk = jnp.sum(sampled_nomk * d_samp, axis=1, keepdims=True)
@@ -353,22 +365,6 @@ def _bwd_kernel(x_ref, omp_ref, w_ref, do_ref, dx_ref, dofs_ref, dw_ref,
             sampled[k * w:(k + 1) * w, :], do,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-    # the scatter, as per-band matmuls straight into the dx accumulator:
-    # d_xband_b = wx_rawᵀ × (wy_b ⊙ mk·d_samp).  Same total MXU FLOPs as
-    # the one big [W,9W]×[9W,B·C] dot but WITHOUT materializing the
-    # [9W, B·C] fp32 d_xr buffer (~15 MB of VMEM write/read per step —
-    # the measured hot spot of the original kernel)
-    d_samp_m = mk * d_samp
-    wx_f32 = wx_raw.astype(jnp.float32)
-    for b in range(band):
-        t_b = wy[:, b:b + 1] * d_samp_m                    # [9W, C]
-        dxb = jax.lax.dot_general(
-            wx_f32, t_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [W, C]
-        sl = pl.ds(pl.multiple_of((s + b) * cin, cin), cin)
-        dx_ref[0, :, sl] += dxb
 
 
 def _omp_precompute(offset_mask, n, h, w):
@@ -428,8 +424,12 @@ def _fused_dcn_bwd_impl(x, offset_mask, weight, d_out, band_rows,
             jax.ShapeDtypeStruct((n, h, 9 * w, 4), jnp.float32),
             jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         ],
+        # streamed band loop: the resident blocks (x + dx image panes,
+        # dw accumulator) dominate at ~12-20 MB — no [9W, B·C] buffers,
+        # so band 24 (full-training auto-widen) compiles where the
+        # materialized design blew the scoped-VMEM stack (>96 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt, omp, w9, d_out)
 
