@@ -132,6 +132,38 @@ def test_fused_vjp_matches_exact_autodiff():
                 err_msg=f"{name} rows={rows}")
 
 
+def test_fused_vjp_band24_matches_exact_autodiff():
+    """Band 24 — the full-backbone-training auto-widen
+    (models/detector.py::FULL_TRAIN_MIN_BAND) — through the streamed
+    band loop: grads match exact autodiff for offsets within its
+    |Δy| ≤ 10 guarantee on an image taller than the band."""
+    rng = np.random.default_rng(11)
+    n, h, w, cin, cout = 1, 40, 10, 8, 8
+    x = rng.normal(size=(n, h, w, cin)).astype(np.float32)
+    om = np.zeros((n, h, w, 27), np.float32)
+    om[..., 0:18:2] = rng.uniform(-9.0, 9.0, (n, h, w, 9))
+    om[..., 1:18:2] = rng.uniform(-6.0, 6.0, (n, h, w, 9))
+    om[..., 18:] = rng.normal(size=(n, h, w, 9))
+    weight = rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1
+    cot = rng.normal(size=(n, h, w, cout)).astype(np.float32)
+
+    def loss_exact(x, om, wt):
+        out = jax.vmap(lambda a, b: modulated_deform_conv(a, b, wt))(x, om)
+        return jnp.sum(out * cot)
+
+    def loss_fused(x, om, wt):
+        out = fused_deform_conv_ad(x, om, wt, 24, 1, True)
+        return jnp.sum(out * cot)
+
+    args = (jnp.asarray(x), jnp.asarray(om), jnp.asarray(weight))
+    ge = jax.grad(loss_exact, argnums=(0, 1, 2))(*args)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(("d_x", "d_offset_mask", "d_weight"), ge, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3,
+            err_msg=name)
+
+
 def test_fused_vjp_out_of_band_grads_are_zero():
     """Taps outside the band contribute zero forward AND backward (the
     gradient is exactly the gradient of the banded forward)."""
