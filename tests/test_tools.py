@@ -153,3 +153,33 @@ def test_bev_render_writes_pngs(tmp_path):
     from transcar_tpu.cli.visualize_results import main as viz_main
     viz_main([str(sub), "--save-dir", str(tmp_path / "viz2"), "--num", "1"])
     assert len(os.listdir(tmp_path / "viz2")) == 2
+
+
+def test_benchmark_cli_with_trace(tmp_path, capsys):
+    """FPS benchmark CLI (tools/analysis_tools/benchmark.py analog) on a
+    tiny camera-only config; --trace-dir captures a jax.profiler trace of
+    the timed loop (SURVEY.md §5 tracing subsystem)."""
+    import os
+
+    from transcar_tpu.cli.benchmark import main as bench_main
+
+    trace_dir = str(tmp_path / "trace")
+    bench_main(["detr3d_r101", "--samples", "2", "--warmup", "1",
+                "--height", "64", "--width", "96",
+                "--trace-dir", trace_dir, "--cfg-options",
+                "model.backbone.kind=resnet50",
+                "model.backbone.compute_dtype=float32",
+                "model.backbone.with_dcn=[false,false,false,false]",
+                "model.head.num_query=16",
+                "model.head.num_decoder_layers=1",
+                "model.head.with_radar_fusion=false",
+                "data.img_hw=[64,96]"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["batch"] == 1 and rec["samples_per_sec"] > 0
+    # the profiler wrote a trace under <dir>/plugins/profile/<ts>/
+    found = []
+    for dirpath, _dirnames, filenames in os.walk(trace_dir):
+        found += [f for f in filenames if f.endswith((".trace.json.gz",
+                                                      ".xplane.pb"))]
+    assert found, f"no trace artifacts under {trace_dir}"

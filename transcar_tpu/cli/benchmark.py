@@ -20,16 +20,23 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=928)
     ap.add_argument("--width", type=int, default=1600)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler trace of the timed loop "
+                         "into this directory (view with TensorBoard / "
+                         "xprof); SURVEY.md §5 tracing subsystem")
+    ap.add_argument("--cfg-options", nargs="*", default=[],
+                    help="dotted deep overrides, same as the train CLI")
     args = ap.parse_args(argv)
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from transcar_tpu.cli.train import parse_overrides
     from transcar_tpu.core.config import get_preset
     from transcar_tpu.models.detector import build_model
     import __graft_entry__ as ge
 
-    cfg = get_preset(args.preset)
+    cfg = get_preset(args.preset, parse_overrides(args.cfg_options))
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = ge._fake_batch(rng, args.batch, cfg.model.head.num_cams,
@@ -50,11 +57,16 @@ def main(argv=None):
 
     for _ in range(args.warmup):
         sync(infer(params, images, l2i, radar))
-    t0 = time.perf_counter()
-    for _ in range(args.samples):
-        out = infer(params, images, l2i, radar)
-    sync(out)
-    dt = time.perf_counter() - t0
+    import contextlib
+    from transcar_tpu.utils.profiling import trace
+    tracer = (trace(args.trace_dir) if args.trace_dir
+              else contextlib.nullcontext())
+    with tracer:
+        t0 = time.perf_counter()
+        for _ in range(args.samples):
+            out = infer(params, images, l2i, radar)
+        sync(out)
+        dt = time.perf_counter() - t0
     sps = args.samples * args.batch / dt
     print(json.dumps({
         "preset": args.preset,
