@@ -112,9 +112,9 @@ def test_resnet_pallas_dcn_matches_exact_at_model_level():
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-3, atol=2e-3)
 
-    # m-expansion (rows_per_step > 1) preserves outputs: the small trained
-    # offsets here stay inside the shrunken |Δy| ≤ (band−4)/2 − (rows−1)/2
-    # window, so the multi-row chunks are still exact
+    # m-expansion (rows_per_step > 1) preserves outputs: each output row
+    # keeps its OWN centered band slice (per-row pipeline), so the exact
+    # window stays |Δy| ≤ (band−4)/2 for any rows_per_step
     rows2 = ResNet(dcn_impl="pallas", dcn_band_rows=16, dcn_rows_per_step=2,
                    dcn_interpret=True, **kw)
     got2 = rows2.apply(params, jnp.asarray(x))

@@ -53,6 +53,58 @@ def test_float_batches_pass_through_untouched():
     assert out["images"] is x
 
 
+def test_fp16_route_preserves_out_of_range_distorted_values():
+    """Photometric-distorted train images legitimately leave [0, 255]
+    (the reference aug never clips, transform_3d.py:139-180); the fp16
+    wire format must carry those values — a uint8 clip would inject up
+    to ~175-intensity errors."""
+    rng = np.random.default_rng(2)
+    imgs = [rng.uniform(-40.0, 430.0, (30, 45, 3)).astype(np.float32)
+            for _ in range(2)]
+    dc = DataConfig()
+    want = _host_path(imgs, dc)
+    assert want.min() < -110.0 and want.max() > 280.0   # non-vacuous range
+    f16 = [i.astype(np.float16) for i in imgs]
+    shape = np.asarray(imgs[0].shape[:2], np.int32)
+    f16 = pp.pad_to_divisor(f16, dc.pad_divisor)
+    batch = {"images": jnp.asarray(pp.stack_views(f16, np.float16)[None]),
+             "img_shape": jnp.asarray(shape[None])}
+    got = np.asarray(normalize_batch_images(batch, dc)["images"][0])
+    # fp16 quantization only: ulp ≤ 0.25 at |x| ≤ 512
+    np.testing.assert_allclose(got[:, :30, :45], want[:, :30, :45],
+                               atol=0.25)
+    assert (got[:, 30:, :, :] == 0).all() and (got[:, :, 45:, :] == 0).all()
+
+
+def test_prepare_sample_wire_dtypes(tmp_path):
+    """Loader route selection: uint8 for eval / undistorted train,
+    float16 once photometric distortion runs."""
+    from PIL import Image
+
+    from transcar_tpu.data.infos import Sample
+    from transcar_tpu.data.loader import prepare_sample
+
+    paths = []
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        p = str(tmp_path / f"cam{i}.png")
+        Image.fromarray(rng.integers(0, 255, (30, 45, 3),
+                                     dtype=np.uint8)).save(p)
+        paths.append(p)
+    sample = Sample(token="t", timestamp=0.0, img_paths=paths,
+                    lidar2img=np.eye(4, dtype=np.float32)[None].repeat(2, 0),
+                    gt_boxes=np.zeros((0, 9), np.float32),
+                    gt_labels=np.zeros((0,), np.int64), gt_names=[])
+    dc = DataConfig(max_gt_boxes=4)
+    assert prepare_sample(sample, dc, training=False)["images"].dtype \
+        == np.uint8
+    out = prepare_sample(sample, dc, training=True,
+                         rng=np.random.default_rng(0))
+    assert out["images"].dtype == np.float16
+    # bit-faithful pad-extent record rides along for the device kernel
+    assert out["img_shape"].tolist() == [30, 45]
+
+
 def test_eval_step_identical_for_uint8_and_fp32_batches():
     """End to end through the jitted eval step: the uint8-transferred
     batch decodes to the SAME boxes as the host-normalized fp32 batch."""

@@ -121,8 +121,13 @@ def test_resolve_dcn_impl_routing():
 def test_resolve_dcn_band_widens_for_full_training():
     """The banded kernel's gradient dead zone (|Δy| > R → zero output AND
     zero gradient) must not bound a *trainable* offset branch: full-camera
-    training auto-widens the band; the frozen-camera TransCAR recipe and
-    inference keep the configured band (ADVICE r2 medium #2)."""
+    training auto-widens the band; the frozen-camera TransCAR recipe
+    keeps the configured band (ADVICE r2 medium #2).
+
+    The widening keys on the CONFIG, not the training flag: the
+    mid-training val hook and any later eval of a full-train config must
+    use the same band the training forward did, or taps the model
+    legitimately learned to use would be zeroed only at eval."""
     import dataclasses
 
     import __graft_entry__ as ge
@@ -143,5 +148,5 @@ def test_resolve_dcn_band_widens_for_full_training():
                 cfg.train.optim, freeze_camera_branch=False)))
     assert camera_branch_trains(full)
     assert resolve_dcn_band(full, training=True) == FULL_TRAIN_MIN_BAND
-    assert resolve_dcn_band(full, training=False) == \
-        cfg.model.backbone.dcn_band_rows
+    # eval of the SAME config sees the same band (train/eval consistency)
+    assert resolve_dcn_band(full, training=False) == FULL_TRAIN_MIN_BAND

@@ -205,6 +205,9 @@ def test_train_and_evaluate_end_to_end(tmp_path):
     val_recs = [r for r in recs if r.get("mode") == "val"]
     assert val_recs and val_recs[0]["epoch"] == 1
     assert any(f.startswith("val_epoch") for f in os.listdir(work))
+    # checkpoint-on-done + config manifest (runner/ckpt-hook analogs)
+    assert os.path.isdir(os.path.join(work, "checkpoints"))
+    assert os.path.exists(os.path.join(work, "config.json"))
 
     out_path = evaluate(cfg, state.params, max_samples=2,
                         out_path=os.path.join(work, "results.json"))

@@ -67,13 +67,18 @@ class BackboneConfig:
     block_impl: str = "auto"         # ResNet stride-1 non-DCN blocks:
                                      # "auto" | "xla" | "fused" (one
                                      # Pallas kernel per bottleneck,
-                                     # ops/pallas_bottleneck.py; "auto"
-                                     # → fused on TPU at inference)
+                                     # ops/pallas_bottleneck.py).  "auto"
+                                     # → xla everywhere: the kernel
+                                     # measured NEGATIVE at model level
+                                     # (8.05 → 7.48 sps); opt-in only
     stem_impl: str = "auto"          # backbone stem: "auto" | "xla" |
                                      # "phase" (ops/phase_stem.py: same
                                      # params, conv math on the stride-4
-                                     # phase grid; "auto" → phase on TPU
-                                     # at inference, XLA otherwise)
+                                     # phase grid).  "auto" → xla
+                                     # everywhere: phase wins in
+                                     # isolation but loses at model
+                                     # level (docs/PERF_NOTES.md
+                                     # "context beats isolation")
     osa_reduce_impl: str = "auto"    # VoVNet OSA tail: "auto" | "xla" |
                                      # "pallas".  "auto" → the fused
                                      # concat-reduce kernel
@@ -176,8 +181,11 @@ class DataConfig:
     normalize_on_device: bool = True  # ship uint8 over host→device (4×
                                       # fewer bytes) and normalize inside
                                       # the jitted step; bit-exact for
-                                      # eval, train photometric aug
-                                      # rounds to uint8 (see data/loader)
+                                      # eval.  Photometric-distorted
+                                      # train images ship as float16
+                                      # instead — the aug's range leaves
+                                      # [0, 255] and must not clip
+                                      # (see data/loader)
     radar_sweeps: int = 5
     use_cbgs: bool = False
     # static GT padding for jit (SURVEY §7.3); the on-device Hungarian

@@ -6,9 +6,11 @@ for the sharded jit step:
 
   images       [B, N_cams, H, W, 3] uint8 BGR (padded ÷32; normalized
                                on device — DataConfig.normalize_on_device,
-                               4× fewer host→device bytes) or float32
-                               pre-normalized when that flag is off
-  img_shape    [B, 2] int32   pre-pad content extent (uint8 route only)
+                               4× fewer host→device bytes; float16 when
+                               photometric distortion ran — its output
+                               exceeds [0, 255] and must not clip) or
+                               float32 pre-normalized when that flag is off
+  img_shape    [B, 2] int32   pre-pad content extent (on-device route only)
   lidar2img    [B, N_cams, 4, 4]
   radar_tokens [B, T, 36]          (optional)
   gt_boxes     [B, G_max, 9]  gravity-center z (loss convention,
@@ -54,18 +56,28 @@ def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
     record; the jitted step applies the normalize + pad-zero semantics
     on device (train/step.py::normalize_batch_images) — 4× fewer
     host→device bytes (6×928×1600×3: 107 → 27 MB/sample).  Bit-exact
-    for the eval pipeline (same fp32 math on the same integers); the
-    train-only photometric aug output is rounded back to uint8
-    (< 0.5/255 intensity)."""
+    for the eval pipeline (same fp32 math on the same integers).
+
+    Photometric-distorted training images are NOT uint8-safe: the
+    reference aug (transform_3d.py:139-180) never clips, so brightness/
+    contrast legitimately push intensities past [0, 255] and below 0.
+    Those ship as float16 instead (2 bytes/px — still 2× fewer bytes
+    than fp32; ≤0.25-intensity rounding at the aug's ≤~600 range, vs
+    the 127-intensity error a uint8 clip would inject)."""
     imgs = pp.load_multiview_images(sample.img_paths)
-    if training and cfg.photometric_distortion:
+    distorted = training and cfg.photometric_distortion
+    if distorted:
         imgs = pp.photometric_distortion(imgs, rng or np.random.default_rng())
     if cfg.normalize_on_device:
-        imgs = [np.clip(np.rint(im), 0, 255).astype(np.uint8)
-                for im in imgs]
+        wire = np.float16 if distorted else np.uint8
+        if wire is np.uint8:
+            imgs = [np.clip(np.rint(im), 0, 255).astype(np.uint8)
+                    for im in imgs]
+        else:
+            imgs = [im.astype(np.float16) for im in imgs]
         img_shape = np.asarray(imgs[0].shape[:2], np.int32)
         imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
-        images = pp.stack_views(imgs, dtype=np.uint8)
+        images = pp.stack_views(imgs, dtype=wire)
     else:
         img_shape = None
         imgs = pp.normalize_images(imgs, cfg.img_mean, cfg.img_std,

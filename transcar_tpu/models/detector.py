@@ -29,8 +29,10 @@ class TransCARDetector(nn.Module):
     cfg: ModelConfig
     dcn_impl: str = "exact"   # resolved by build_model (never "auto" here)
     dcn_band_rows: Optional[int] = None   # override (build_model auto-widen)
-    dcn_rows_per_step: Optional[int] = None   # override (build_model:
-                                              # rows=1 when training)
+    dcn_rows_per_step: Optional[int] = None   # override (build_model passes
+                                              # the configured value for
+                                              # training and inference alike;
+                                              # exactness is rows-independent)
     osa_reduce_impl: str = "xla"   # VoVNet OSA tail (resolved by
                                    # build_model; never "auto" here)
     stem_impl: str = "xla"         # stem formulation (resolved by
@@ -157,15 +159,21 @@ def resolve_dcn_impl(cfg: TransCARConfig, training: bool = False) -> str:
 
 
 def resolve_dcn_band(cfg: TransCARConfig, training: bool = False) -> int:
-    """Band for the Pallas DCN kernel.  Inference / frozen-camera training
-    use the configured band (default exact |Δy| ≤ 5 px); full-backbone
-    training auto-widens to ``FULL_TRAIN_MIN_BAND`` (exact ≤ 10 px) so the
-    trainable offset branch keeps gradients over the range offsets
-    realistically reach (mmcv DCNv2 is exact for arbitrary offsets,
-    detr3d_res101_gridmask.py:41-42)."""
+    """Band for the Pallas DCN kernel.  Frozen-camera (TransCAR recipe)
+    configs use the configured band (default exact |Δy| ≤ 5 px);
+    full-backbone-training configs auto-widen to ``FULL_TRAIN_MIN_BAND``
+    (exact ≤ 10 px) so the trainable offset branch keeps gradients over
+    the range offsets realistically reach (mmcv DCNv2 is exact for
+    arbitrary offsets, detr3d_res101_gridmask.py:41-42).
+
+    The widening keys on the CONFIG, not the ``training`` flag: the
+    mid-training val hook (train/loop.py::run_val) and any later test of
+    a full-train config must sample the same taps the training forward
+    used — an eval at the narrow band would silently zero taps in the
+    (5, 10] px range that trained offsets legitimately reach."""
+    del training  # band must agree between a config's train and eval
     band = cfg.model.backbone.dcn_band_rows
-    if (training and camera_branch_trains(cfg)
-            and any(cfg.model.backbone.with_dcn)):
+    if camera_branch_trains(cfg) and any(cfg.model.backbone.with_dcn):
         band = max(band, FULL_TRAIN_MIN_BAND)
     return band
 

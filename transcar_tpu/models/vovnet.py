@@ -61,7 +61,6 @@ class _eSEGate(nn.Module):
 
 
 _ConcatReduceParams = ConvBNParams   # (name kept for existing callers)
-_bn_affine = bn_affine
 
 
 class OSABlock(nn.Module):
@@ -97,12 +96,12 @@ class OSABlock(nn.Module):
                 k, g, b, m, v = _ConcatReduceParams(
                     cin, self.stage_ch, ksize=3, name=f"conv{i}")()
                 conv_ws.append(k)
-                conv_affs.append(_bn_affine(g, b, m, v))
+                conv_affs.append(bn_affine(g, b, m, v))
                 cin = self.stage_ch
             tot = x.shape[-1] + self.layer_per_block * self.stage_ch
             rk, rg, rb, rm, rv = _ConcatReduceParams(
                 tot, self.concat_ch, name="concat")()
-            raff = _bn_affine(rg, rb, rm, rv)
+            raff = bn_affine(rg, rb, rm, rv)
             w2d = rk.reshape(tot, self.concat_ch)
             widths = [x.shape[-1]] + [self.stage_ch] * self.layer_per_block
             splits, off = [], 0
@@ -130,8 +129,7 @@ class OSABlock(nn.Module):
             cin = sum(p.shape[-1] for p in outputs)
             kernel, gamma, beta, mean, var = _ConcatReduceParams(
                 cin, self.concat_ch, name="concat")()
-            scale = gamma * jax.lax.rsqrt(var + 1e-5)
-            bias = beta - mean * scale
+            scale, bias = bn_affine(gamma, beta, mean, var)
             w2d = kernel.reshape(cin, self.concat_ch)
             splits, off = [], 0
             for p in outputs:

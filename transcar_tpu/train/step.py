@@ -32,15 +32,17 @@ class TrainState(NamedTuple):
 
 def normalize_batch_images(batch: Dict[str, jnp.ndarray], dc) -> Dict:
     """On-device analog of NormalizeMultiviewImage + PadMultiViewImage(0)
-    for uint8-transferred batches (DataConfig.normalize_on_device —
-    4× fewer host→device bytes; data/loader.py::prepare_sample).
+    for uint8- or float16-transferred batches (DataConfig.
+    normalize_on_device — 4×/2× fewer host→device bytes;
+    data/loader.py::prepare_sample.  fp16 carries photometric-distorted
+    training images, whose range legitimately leaves [0, 255]).
 
-    No-op for float batches (bench/tests feed pre-normalized fp32).
+    No-op for fp32 batches (bench/tests feed pre-normalized fp32).
     ``img_shape`` [B, 2] records the pre-pad content extent so padding
     stays exactly 0 in normalized space, matching the host pipeline's
     normalize-then-pad order (pipeline.py:47-56)."""
     imgs = batch.get("images")
-    if imgs is None or imgs.dtype != jnp.uint8:
+    if imgs is None or imgs.dtype not in (jnp.uint8, jnp.float16):
         return batch
     x = imgs.astype(jnp.float32)
     if dc.to_rgb:
