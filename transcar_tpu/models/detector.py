@@ -39,12 +39,16 @@ class TransCARDetector(nn.Module):
                                    # build_model; never "auto" here)
     block_impl: str = "xla"        # ResNet bottleneck formulation
                                    # (resolved by build_model)
+    backbone_remat: bool = True    # rematerialize backbone blocks
+                                   # (resolved by build_model: only when a
+                                   # camera backward is actually built)
 
     def setup(self):
         bc = self.cfg.backbone
         if bc.kind in ("resnet101", "resnet50"):
             self.backbone = ResNet(
                 depth=int(bc.kind[6:]), with_dcn=bc.with_dcn,
+                remat=self.backbone_remat,
                 compute_dtype=bc.compute_dtype, dcn_impl=self.dcn_impl,
                 dcn_band_rows=self.dcn_band_rows or bc.dcn_band_rows,
                 dcn_rows_per_step=(self.dcn_rows_per_step
@@ -216,8 +220,16 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         # overlapped pre-copy cost more than XLA's path saves.  The
         # kernel stays an explicit opt-in experiment.
         blk = "xla"
+    # remat trades HBM for recompute on the BACKWARD — it has nothing to
+    # buy at inference or under the frozen-camera recipe (stop_gradient:
+    # no camera backward is ever built), while its checkpoint boundaries
+    # block XLA layout propagation between blocks and insert pure
+    # data-formatting copies (~20 ms/sample on the flagship, 16% of the
+    # step — jax.profiler trace, docs/PERF_NOTES.md round-3 remat note).
+    # Only rematerialize when a camera backward actually exists.
+    remat = training and camera_branch_trains(cfg)
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,
                             osa_reduce_impl=osa, stem_impl=stem,
-                            block_impl=blk)
+                            block_impl=blk, backbone_remat=remat)
