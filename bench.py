@@ -25,6 +25,9 @@ def main():
 
     import __graft_entry__ as ge
     from transcar_tpu.models.detector import build_model
+    from transcar_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = ge._tiny_cfg()  # full-size flagship: R101-DCN, 6 layers, fusion
     model = build_model(cfg)

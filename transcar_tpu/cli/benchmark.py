@@ -33,6 +33,9 @@ def main(argv=None):
     import jax.numpy as jnp
     from transcar_tpu.cli.train import parse_overrides
     from transcar_tpu.core.config import get_preset
+    from transcar_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from transcar_tpu.models.detector import build_model
     import __graft_entry__ as ge
 

@@ -46,9 +46,11 @@ def main(argv=None):
     from transcar_tpu.parallel.distributed import (
         maybe_initialize_distributed)
     from transcar_tpu.train.loop import _load_params, evaluate
+    from transcar_tpu.utils.compile_cache import enable_persistent_cache
 
     # must run before anything touches a jax backend (orbax restore below)
     maybe_initialize_distributed()
+    enable_persistent_cache()
     cfg = get_preset(args.preset, parse_overrides(args.cfg_options))
 
     # materialize a params template, then load the checkpoint over it

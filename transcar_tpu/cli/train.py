@@ -46,6 +46,11 @@ def main(argv=None):
     from transcar_tpu.core.config import get_preset
     from transcar_tpu.parallel.distributed import (
         maybe_initialize_distributed)
+    from transcar_tpu.utils.compile_cache import enable_persistent_cache
+
+    # persist compiled executables across processes (full-model XLA
+    # compiles run minutes; preemption-resumed runs recompile for free)
+    enable_persistent_cache()
 
     # multi-host: connect the process group before any jax backend use
     # (tools/train.py:153-160 init_dist analog; no-op single host)
