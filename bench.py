@@ -14,12 +14,42 @@ camera trunk + 3 fusion layers) cannot exceed.  BASELINE.json's target is
 Prints exactly one JSON line.
 """
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _wait_for_backend(max_tries: int = 6, sleep_s: float = 150.0) -> None:
+    """Ride out transient TPU/relay outages (the axon backend init can
+    fail UNAVAILABLE for minutes at a time).  Probe in a SUBPROCESS —
+    a failed in-process backend init is cached by jax and would poison
+    this process — and proceed after the first success (or after the
+    last try, letting the real init surface the error).  stderr only:
+    stdout stays the single JSON line."""
+    for i in range(max_tries):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=600)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False         # init hung — count as an unavailable probe
+        if ok:
+            return
+        if i == max_tries - 1:
+            print("bench: TPU backend still unavailable after "
+                  f"{max_tries} probes; proceeding anyway", file=sys.stderr)
+            return
+        print(f"bench: TPU backend unavailable (probe {i + 1}/"
+              f"{max_tries}); retrying in {sleep_s:.0f}s", file=sys.stderr)
+        time.sleep(sleep_s)
+
+
 def main():
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
