@@ -193,8 +193,12 @@ def test_train_and_evaluate_end_to_end(tmp_path):
 
     from transcar_tpu.train.loop import evaluate, train
 
-    state = train(cfg, max_steps=2, log_interval=1, eval_samples=2)
+    trace_dir = os.path.join(work, "trace")
+    state = train(cfg, max_steps=2, log_interval=1, eval_samples=2,
+                  trace_dir=trace_dir, trace_start=0, trace_steps=1)
     assert int(state.step) == 2
+    # --trace-dir analog captured a steady-state step (SURVEY §5 tracing)
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
     logs = [f for f in os.listdir(work) if f.endswith(".log.json")]
     assert logs
     with open(os.path.join(work, logs[0])) as f:

@@ -40,6 +40,12 @@ def main(argv=None):
                          "(tools/train.py:44-46 analog)")
     ap.add_argument("--eval-samples", type=int,
                     help="bound each mid-training val pass to N samples")
+    ap.add_argument("--trace-dir",
+                    help="capture a jax.profiler trace of a few "
+                         "steady-state train steps into this directory "
+                         "(view with TensorBoard/xprof; SURVEY §5 tracing)")
+    ap.add_argument("--trace-steps", type=int, default=3,
+                    help="steps to include in the --trace-dir capture")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -97,7 +103,8 @@ def main(argv=None):
 
     from transcar_tpu.train.loop import train
     train(cfg, radar_fn=radar_fn, max_steps=args.max_steps,
-          eval_samples=args.eval_samples)
+          eval_samples=args.eval_samples, trace_dir=args.trace_dir,
+          trace_steps=args.trace_steps)
 
 
 def _try_radar_fn(cfg):

@@ -58,7 +58,10 @@ def train(cfg: TransCARConfig,
           radar_fn: Optional[Callable[[str], np.ndarray]] = None,
           max_steps: Optional[int] = None,
           log_interval: int = 50,
-          eval_samples: Optional[int] = None) -> TrainState:
+          eval_samples: Optional[int] = None,
+          trace_dir: Optional[str] = None,
+          trace_start: int = 8,
+          trace_steps: int = 3) -> TrainState:
     """Full training run driven by a config (tools/train.py analog).
 
     Mid-training evaluation (EvalHook analog — the reference evaluates
@@ -70,6 +73,11 @@ def train(cfg: TransCARConfig,
     present) land in a ``mode="val"`` json-log record that
     cli/analyze_logs can parse.  ``eval_interval_epochs <= 0`` disables
     the hook.  ``eval_samples`` bounds the val pass (tests/smoke runs).
+
+    ``trace_dir`` captures a ``jax.profiler`` trace of
+    ``trace_steps`` steady-state steps (global step index
+    ``trace_start`` onward, past warmup/compile) — the SURVEY §5
+    tracing subsystem on the training path; rank 0 only.
 
     Multi-host: when jax.distributed env is set (tools/dist_train.sh),
     every host runs this function; the mesh spans the global device set,
@@ -187,10 +195,28 @@ def train(cfg: TransCARConfig,
                 rec["devkit"] = f"unavailable: {type(e).__name__}"
         logger.log(rec)
 
+    # profiler-trace window (rank 0): [trace_start, trace_start+trace_steps)
+    tracing = {"on": False, "done": trace_dir is None or pi != 0}
+
+    def trace_tick(gstep: int, state):
+        if tracing["done"]:
+            return
+        if not tracing["on"] and gstep >= trace_start:
+            # drain queued work so the trace holds only steady-state steps
+            int(jax.device_get(state.step))
+            jax.profiler.start_trace(trace_dir)
+            tracing["on"] = True
+        elif tracing["on"] and gstep >= trace_start + trace_steps:
+            int(jax.device_get(state.step))
+            jax.profiler.stop_trace()
+            tracing["on"] = False
+            tracing["done"] = True
+
     done = False
     for epoch in range(start_epoch, cfg.train.optim.total_epochs):
         t_iter = time.time()
         for i, batch in enumerate(loader.epoch(epoch)):
+            trace_tick(epoch * steps_per_epoch + i, state)
             sharded = shard_batch(batch, mesh)
             state, losses = train_step(state, sharded, rng)
             if (i + 1) % log_interval == 0:
@@ -203,6 +229,9 @@ def train(cfg: TransCARConfig,
                 logger.log(rec)
                 t_iter = time.time()
             if preempted["flag"]:
+                if tracing["on"]:
+                    jax.profiler.stop_trace()
+                    tracing["on"] = False
                 save(state)
                 logger.log({"mode": "train", "epoch": epoch + 1,
                             "preempted": True, "step": int(state.step)})
@@ -218,6 +247,8 @@ def train(cfg: TransCARConfig,
             run_val(epoch, state)
         if done:
             break
+    if tracing["on"]:        # run shorter than the trace window
+        jax.profiler.stop_trace()
     return state
 
 
