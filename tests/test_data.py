@@ -95,6 +95,47 @@ def test_hsv_roundtrip():
     np.testing.assert_allclose(back, img, rtol=1e-3, atol=1e-2)
 
 
+def test_hsv_fast_forms_match_textbook_oracles():
+    """The shipped branch-free HSV conversions (one shared division /
+    the "wheel" formula) equal the textbook sector formulations they
+    replaced (cv2 semantics: H degrees, S [0,1], V [0,255])."""
+    def bgr2hsv_oracle(img):
+        b, g, r = img[..., 0], img[..., 1], img[..., 2]
+        maxc = np.maximum(np.maximum(r, g), b)
+        minc = np.minimum(np.minimum(r, g), b)
+        delta = maxc - minc
+        s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+        dz = np.maximum(delta, 1e-12)
+        h = np.where(maxc == r, 60.0 * (g - b) / dz,
+                     np.where(maxc == g, 120.0 + 60.0 * (b - r) / dz,
+                              240.0 + 60.0 * (r - g) / dz))
+        h = np.where(delta == 0, 0.0, h)
+        h = np.where(h < 0, h + 360.0, h)
+        return np.stack([h, s, maxc], axis=-1)
+
+    def hsv2bgr_oracle(img):       # classic p/q/t six-sector table
+        h, s, v = img[..., 0], img[..., 1], img[..., 2]
+        h60 = (h / 60.0) % 6.0
+        i = np.floor(h60)
+        f = h60 - i
+        p = v * (1 - s)
+        q = v * (1 - f * s)
+        t = v * (1 - (1 - f) * s)
+        i = i.astype(np.int32) % 6
+        r = np.choose(i, [v, q, p, p, t, v])
+        g = np.choose(i, [t, v, v, q, p, p])
+        b = np.choose(i, [p, p, t, v, v, q])
+        return np.stack([b, g, r], axis=-1)
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(-40, 430, (32, 24, 3)).astype(np.float32)  # aug range
+    np.testing.assert_allclose(_bgr2hsv(img), bgr2hsv_oracle(img),
+                               rtol=1e-4, atol=1e-3)
+    hsv = _bgr2hsv(np.abs(img))
+    np.testing.assert_allclose(_hsv2bgr(hsv), hsv2bgr_oracle(hsv),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_pipeline_shapes():
     rng = np.random.default_rng(3)
     imgs = [rng.uniform(0, 255, (900, 1600, 3)).astype(np.float32)

@@ -53,32 +53,48 @@ def test_float_batches_pass_through_untouched():
     assert out["images"] is x
 
 
-def test_fp16_route_preserves_out_of_range_distorted_values():
-    """Photometric-distorted train images legitimately leave [0, 255]
-    (the reference aug never clips, transform_3d.py:139-180); the fp16
-    wire format must carry those values — a uint8 clip would inject up
-    to ~175-intensity errors."""
+def test_device_photometric_matches_host_apply():
+    """The on-device photometric distortion (fused into
+    normalize_batch_images; choices drawn on host) reproduces the host
+    fp32 reference path per image.  Params are crafted to exercise every
+    branch: both contrast modes, brightness/saturation/hue on, channel
+    swap, and an all-identity draw (the reference aug never clips — the
+    uint8 wire carries UNDISTORTED pixels and the out-of-range math
+    happens on device)."""
     rng = np.random.default_rng(2)
-    imgs = [rng.uniform(-40.0, 430.0, (30, 45, 3)).astype(np.float32)
-            for _ in range(2)]
+    imgs = [rng.integers(0, 256, (30, 45, 3)).astype(np.float32)
+            for _ in range(3)]
+    params = np.array([[17.0, 1.0, 1.4, 1.3, 15.0],     # mode-1 contrast
+                       [-28.0, 0.0, 0.6, 0.7, -12.0],   # mode-0 contrast
+                       [0.0, 0.0, 1.0, 1.0, 0.0]],      # all identity
+                      np.float32)
+    perms = np.array([[2, 0, 1], [0, 1, 2], [1, 2, 0]], np.int32)
     dc = DataConfig()
-    want = _host_path(imgs, dc)
-    assert want.min() < -110.0 and want.max() > 280.0   # non-vacuous range
-    f16 = [i.astype(np.float16) for i in imgs]
-    shape = np.asarray(imgs[0].shape[:2], np.int32)
-    f16 = pp.pad_to_divisor(f16, dc.pad_divisor)
-    batch = {"images": jnp.asarray(pp.stack_views(f16, np.float16)[None]),
-             "img_shape": jnp.asarray(shape[None])}
-    got = np.asarray(normalize_batch_images(batch, dc)["images"][0])
-    # fp16 quantization only: ulp ≤ 0.25 at |x| ≤ 512
+
+    hosted = [pp.apply_photometric(im, params[i], perms[i])
+              for i, im in enumerate(imgs)]
+    want = _host_path(hosted, dc)
+    assert want.min() < -120.0 and want.max() > 180.0   # aug leaves [0,255]
+
+    u8 = [im.astype(np.uint8) for im in imgs]
+    u8 = pp.pad_to_divisor(u8, dc.pad_divisor)
+    batch = {"images": jnp.asarray(pp.stack_views(u8, np.uint8)[None]),
+             "img_shape": jnp.asarray(np.asarray([[30, 45]], np.int32)),
+             "photo_params": jnp.asarray(params[None]),
+             "photo_perm": jnp.asarray(perms[None])}
+    out = normalize_batch_images(batch, dc)
+    got = np.asarray(out["images"][0])
     np.testing.assert_allclose(got[:, :30, :45], want[:, :30, :45],
-                               atol=0.25)
+                               atol=2e-2)
     assert (got[:, 30:, :, :] == 0).all() and (got[:, :, 45:, :] == 0).all()
+    # consumed: the model never sees the aug params
+    assert "photo_params" not in out and "photo_perm" not in out
 
 
 def test_prepare_sample_wire_dtypes(tmp_path):
-    """Loader route selection: uint8 for eval / undistorted train,
-    float16 once photometric distortion runs."""
+    """Loader route selection: uint8 wire always (on-device normalize);
+    training with photometric distortion additionally ships the drawn
+    aug choices for the fused device-side pixel math."""
     from PIL import Image
 
     from transcar_tpu.data.infos import Sample
@@ -96,11 +112,13 @@ def test_prepare_sample_wire_dtypes(tmp_path):
                     gt_boxes=np.zeros((0, 9), np.float32),
                     gt_labels=np.zeros((0,), np.int64), gt_names=[])
     dc = DataConfig(max_gt_boxes=4)
-    assert prepare_sample(sample, dc, training=False)["images"].dtype \
-        == np.uint8
+    ev = prepare_sample(sample, dc, training=False)
+    assert ev["images"].dtype == np.uint8 and "photo_params" not in ev
     out = prepare_sample(sample, dc, training=True,
                          rng=np.random.default_rng(0))
-    assert out["images"].dtype == np.float16
+    assert out["images"].dtype == np.uint8
+    assert out["photo_params"].shape == (2, 5)
+    assert out["photo_perm"].shape == (2, 3)
     # bit-faithful pad-extent record rides along for the device kernel
     assert out["img_shape"].tolist() == [30, 45]
 

@@ -181,11 +181,14 @@ class DataConfig:
     normalize_on_device: bool = True  # ship uint8 over host→device (4×
                                       # fewer bytes) and normalize inside
                                       # the jitted step; bit-exact for
-                                      # eval.  Photometric-distorted
-                                      # train images ship as float16
-                                      # instead — the aug's range leaves
-                                      # [0, 255] and must not clip
-                                      # (see data/loader)
+                                      # eval.  Training photometric
+                                      # distortion also runs ON DEVICE
+                                      # (host draws the random choices,
+                                      # the pixel math fuses into the
+                                      # normalize — the host numpy aug
+                                      # chain measured ~5 s/sample and
+                                      # serializes loader threads via
+                                      # the GIL; see data/loader)
     radar_sweeps: int = 5
     use_cbgs: bool = False
     # static GT padding for jit (SURVEY §7.3); the on-device Hungarian

@@ -6,11 +6,13 @@ for the sharded jit step:
 
   images       [B, N_cams, H, W, 3] uint8 BGR (padded ÷32; normalized
                                on device — DataConfig.normalize_on_device,
-                               4× fewer host→device bytes; float16 when
-                               photometric distortion ran — its output
-                               exceeds [0, 255] and must not clip) or
-                               float32 pre-normalized when that flag is off
+                               4× fewer host→device bytes) or float32
+                               pre-normalized when that flag is off
   img_shape    [B, 2] int32   pre-pad content extent (on-device route only)
+  photo_params [B, N_cams, 5] float32, photo_perm [B, N_cams, 3] int32
+                               (train + photometric_distortion on the
+                               on-device route: drawn aug choices; the
+                               pixel math runs fused in the jitted step)
   lidar2img    [B, N_cams, 4, 4]
   radar_tokens [B, T, 36]          (optional)
   gt_boxes     [B, G_max, 9]  gravity-center z (loss convention,
@@ -58,27 +60,27 @@ def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
     host→device bytes (6×928×1600×3: 107 → 27 MB/sample).  Bit-exact
     for the eval pipeline (same fp32 math on the same integers).
 
-    Photometric-distorted training images are NOT uint8-safe: the
-    reference aug (transform_3d.py:139-180) never clips, so brightness/
-    contrast legitimately push intensities past [0, 255] and below 0.
-    Those ship as float16 instead (2 bytes/px — still 2× fewer bytes
-    than fp32; ≤0.25-intensity rounding at the aug's ≤~600 range, vs
-    the 127-intensity error a uint8 clip would inject)."""
-    imgs = pp.load_multiview_images(sample.img_paths)
-    distorted = training and cfg.photometric_distortion
-    if distorted:
-        imgs = pp.photometric_distortion(imgs, rng or np.random.default_rng())
+    Training photometric distortion rides the SAME uint8 wire: the host
+    only draws the per-image random choices
+    (pipeline.py::draw_photometric_params → ``photo_params`` /
+    ``photo_perm``) and the pixel math runs inside the jitted step,
+    fused into the normalize.  This is load-bearing for throughput, not
+    a nicety — the host float aug chain measured ~5 s/sample in numpy
+    (HSV round trip + fp16 materialization), and numpy ufuncs hold the
+    GIL so loader threads serialize on it; on device it is elementwise
+    noise folded into an existing pass.  It also kills the old wire
+    dilemma: the aug's output range leaves [0, 255] (the reference
+    never clips, transform_3d.py:139-180), which uint8 could not carry."""
     if cfg.normalize_on_device:
-        wire = np.float16 if distorted else np.uint8
-        if wire is np.uint8:
-            imgs = [np.clip(np.rint(im), 0, 255).astype(np.uint8)
-                    for im in imgs]
-        else:
-            imgs = [im.astype(np.float16) for im in imgs]
+        imgs = pp.load_multiview_images_u8(sample.img_paths)
         img_shape = np.asarray(imgs[0].shape[:2], np.int32)
         imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
-        images = pp.stack_views(imgs, dtype=wire)
+        images = pp.stack_views(imgs, dtype=np.uint8)
     else:
+        imgs = pp.load_multiview_images(sample.img_paths)
+        if training and cfg.photometric_distortion:
+            imgs = pp.photometric_distortion(
+                imgs, rng or np.random.default_rng())
         img_shape = None
         imgs = pp.normalize_images(imgs, cfg.img_mean, cfg.img_std,
                                    cfg.to_rgb)
@@ -91,6 +93,11 @@ def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
     }
     if img_shape is not None:
         out["img_shape"] = img_shape
+        if training and cfg.photometric_distortion:
+            params, perm = pp.draw_photometric_params(
+                rng or np.random.default_rng(), len(sample.img_paths))
+            out["photo_params"] = params
+            out["photo_perm"] = perm
     if radar_fn is not None:
         out["radar_tokens"] = radar_fn(sample.token)
     boxes, labels, n = pad_gt(sample.gt_boxes, sample.gt_labels,

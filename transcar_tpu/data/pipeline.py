@@ -31,6 +31,24 @@ def load_multiview_images(paths: Sequence[str]) -> List[np.ndarray]:
     return imgs
 
 
+def load_multiview_images_u8(paths: Sequence[str]) -> List[np.ndarray]:
+    """Read images as uint8 BGR HWC — the on-device-normalize wire format.
+
+    Skips the float32 round trip entirely (decode already yields uint8;
+    the old u8 route decoded→fp32→rint→u8, two full-image conversions
+    that are exactly identity).  Host float math is poison for loader
+    throughput: numpy ufuncs hold the GIL, so the thread-pool workers
+    serialize on it (PIL's decoder releases the GIL, so decode itself
+    does parallelize)."""
+    from PIL import Image
+
+    imgs = []
+    for p in paths:
+        rgb = np.asarray(Image.open(p).convert("RGB"))
+        imgs.append(rgb[..., ::-1].copy())           # → BGR, stays uint8
+    return imgs
+
+
 def normalize_images(imgs: List[np.ndarray], mean, std,
                      to_rgb: bool = False) -> List[np.ndarray]:
     mean = np.asarray(mean, np.float32)
@@ -63,36 +81,101 @@ def pad_to_divisor(imgs: List[np.ndarray], divisor: int = 32,
 # ---------------------------------------------------------------------------
 
 def _bgr2hsv(img: np.ndarray) -> np.ndarray:
-    """float32 BGR [0,255] → HSV with H in degrees (mmcv/cv2 semantics)."""
+    """float32 BGR [0,255] → HSV with H in degrees (mmcv/cv2 semantics).
+
+    Branch-light formulation: one shared division for the hue sector
+    instead of three (the per-sector offsets 120°/240° become
+    2Δ/4Δ added to the numerator, which is algebraically identical)."""
     b, g, r = img[..., 0], img[..., 1], img[..., 2]
     maxc = np.maximum(np.maximum(r, g), b)
     minc = np.minimum(np.minimum(r, g), b)
-    v = maxc
     delta = maxc - minc
-    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
-    dz = np.maximum(delta, 1e-12)
-    h = np.where(
-        maxc == r, 60.0 * (g - b) / dz,
-        np.where(maxc == g, 120.0 + 60.0 * (b - r) / dz,
-                 240.0 + 60.0 * (r - g) / dz))
-    h = np.where(delta == 0, 0.0, h)
-    h = np.where(h < 0, h + 360.0, h)
-    return np.stack([h, s, v], axis=-1)
+    s = np.where(maxc > 0, delta / np.maximum(maxc, np.float32(1e-12)),
+                 np.float32(0.0))
+    num = np.where(maxc == r, g - b,
+                   np.where(maxc == g, (b - r) + delta * np.float32(2.0),
+                            (r - g) + delta * np.float32(4.0)))
+    h = num * (np.float32(60.0) / np.maximum(delta, np.float32(1e-12)))
+    h = np.where(delta == 0, np.float32(0.0), h)
+    h = np.where(h < 0, h + np.float32(360.0), h)
+    return np.stack([h, s, maxc], axis=-1)
 
 
 def _hsv2bgr(img: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_bgr2hsv` via the branch-free "wheel" formula —
+    channel(n) = V − V·S·clip(min(k, 4−k), 0, 1) with k = (n + H/60) mod 6
+    — which equals the classic p/q/t six-sector table exactly (the old
+    np.choose formulation ran ~7× slower on the loader host path)."""
     h, s, v = img[..., 0], img[..., 1], img[..., 2]
-    h60 = (h / 60.0) % 6.0
-    i = np.floor(h60)
-    f = h60 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(np.int32)
-    r = np.choose(i % 6, [v, q, p, p, t, v])
-    g = np.choose(i % 6, [t, v, v, q, p, p])
-    b = np.choose(i % 6, [p, p, t, v, v, q])
-    return np.stack([b, g, r], axis=-1)
+    h60 = h * np.float32(1.0 / 60.0)
+    vs = v * s
+
+    def chan(n):
+        k = (n + h60) % np.float32(6.0)
+        w = np.clip(np.minimum(k, np.float32(4.0) - k),
+                    np.float32(0.0), np.float32(1.0))
+        return v - vs * w
+
+    return np.stack([chan(np.float32(1)), chan(np.float32(3)),
+                     chan(np.float32(5))], axis=-1)
+
+
+def draw_photometric_params(rng: np.random.Generator, n: int,
+                            brightness_delta: float = 32.0,
+                            contrast_range=(0.5, 1.5),
+                            saturation_range=(0.5, 1.5),
+                            hue_delta: float = 18.0):
+    """Sample PhotoMetricDistortionMultiViewImage's per-image random
+    choices (transform_3d.py:125-181: each sub-op fires with prob 0.5,
+    uniform magnitudes, contrast before-or-after HSV by ``mode``) as
+    ARRAYS, so the pixel math can run wherever it's cheapest — the
+    TPU-native route applies it inside the jitted step
+    (train/step.py::normalize_batch_images), where it fuses into the
+    normalize for free and the host ships plain uint8.
+
+    Returns (params [n, 5] float32 = (brightness, mode, contrast_alpha,
+    saturation_alpha, hue_deg), perm [n, 3] int32 channel swap).
+    Off-draws encode as the op's identity (0 / 1 / 0 / identity perm)."""
+    params = np.zeros((n, 5), np.float32)
+    perm = np.tile(np.arange(3, dtype=np.int32), (n, 1))
+    for i in range(n):
+        if rng.integers(2):
+            params[i, 0] = rng.uniform(-brightness_delta, brightness_delta)
+        params[i, 1] = rng.integers(2)                       # mode
+        params[i, 2] = (rng.uniform(*contrast_range)
+                        if rng.integers(2) else 1.0)
+        params[i, 3] = (rng.uniform(*saturation_range)
+                        if rng.integers(2) else 1.0)
+        if rng.integers(2):
+            params[i, 4] = rng.uniform(-hue_delta, hue_delta)
+        if rng.integers(2):
+            perm[i] = rng.permutation(3).astype(np.int32)
+    return params, perm
+
+
+def apply_photometric(img: np.ndarray, p: np.ndarray,
+                      perm: np.ndarray) -> np.ndarray:
+    """Apply one image's drawn distortion (host float32 reference path).
+
+    Matches the reference op order: brightness → contrast (mode 1) →
+    HSV → saturation → hue → BGR → contrast (mode 0) → channel swap.
+    The HSV round trip is skipped when both saturation and hue drew
+    their identity (the reference converts unconditionally; an identity
+    round trip differs only by float rounding ≲1e-3 intensity)."""
+    img = img.astype(np.float32) + p[0]
+    if p[1] == 1 and p[2] != 1.0:
+        img = img * p[2]
+    if p[3] != 1.0 or p[4] != 0.0:
+        hsv = _bgr2hsv(img)
+        hsv[..., 1] *= p[3]
+        h = hsv[..., 0] + p[4]
+        h[h > 360] -= 360
+        h[h < 0] += 360
+        hsv[..., 0] = h
+        img = _hsv2bgr(hsv)
+    if p[1] == 0 and p[2] != 1.0:
+        img = img * p[2]
+    return img[..., perm]
 
 
 def photometric_distortion(
@@ -103,29 +186,13 @@ def photometric_distortion(
     saturation_range=(0.5, 1.5),
     hue_delta: float = 18.0,
 ) -> List[np.ndarray]:
-    """Per-image independent distortion (transform_3d.py:125-181)."""
-    out = []
-    for img in imgs:
-        img = img.astype(np.float32).copy()
-        if rng.integers(2):
-            img += rng.uniform(-brightness_delta, brightness_delta)
-        mode = rng.integers(2)
-        if mode == 1 and rng.integers(2):
-            img *= rng.uniform(*contrast_range)
-        img = _bgr2hsv(img)
-        if rng.integers(2):
-            img[..., 1] *= rng.uniform(*saturation_range)
-        if rng.integers(2):
-            img[..., 0] += rng.uniform(-hue_delta, hue_delta)
-            img[..., 0][img[..., 0] > 360] -= 360
-            img[..., 0][img[..., 0] < 0] += 360
-        img = _hsv2bgr(img)
-        if mode == 0 and rng.integers(2):
-            img *= rng.uniform(*contrast_range)
-        if rng.integers(2):
-            img = img[..., rng.permutation(3)]
-        out.append(img)
-    return out
+    """Per-image independent distortion (transform_3d.py:125-181) —
+    host float32 path (normalize_on_device=False)."""
+    params, perms = draw_photometric_params(
+        rng, len(imgs), brightness_delta, contrast_range,
+        saturation_range, hue_delta)
+    return [apply_photometric(img, params[i], perms[i])
+            for i, img in enumerate(imgs)]
 
 
 def stack_views(imgs: List[np.ndarray], dtype=np.float32) -> np.ndarray:

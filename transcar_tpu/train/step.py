@@ -30,21 +30,79 @@ class TrainState(NamedTuple):
     batch_stats: Any = {}
 
 
-def normalize_batch_images(batch: Dict[str, jnp.ndarray], dc) -> Dict:
-    """On-device analog of NormalizeMultiviewImage + PadMultiViewImage(0)
-    for uint8- or float16-transferred batches (DataConfig.
-    normalize_on_device — 4×/2× fewer host→device bytes;
-    data/loader.py::prepare_sample.  fp16 carries photometric-distorted
-    training images, whose range legitimately leaves [0, 255]).
+def _device_photometric(x: jnp.ndarray, p: jnp.ndarray,
+                        perm: jnp.ndarray) -> jnp.ndarray:
+    """PhotoMetricDistortionMultiViewImage's pixel math on device
+    (transform_3d.py:139-180; choices drawn on host —
+    data/pipeline.py::draw_photometric_params).  Everything here is
+    elementwise fp32, so XLA fuses it into the normalize pass that
+    follows — the host ships plain uint8 and does no float math at all
+    (numpy's GIL-bound aug chain measured ~5 s/sample).
 
-    No-op for fp32 batches (bench/tests feed pre-normalized fp32).
+    x [B, N, H, W, 3] fp32 BGR; p [B, N, 5] = (brightness, mode,
+    contrast_alpha, saturation_alpha, hue_deg); perm [B, N, 3] int32.
+    Op order matches the reference: brightness → contrast(mode 1) →
+    HSV → saturation → hue → BGR → contrast(mode 0) → channel swap.
+    The HSV round trip runs unconditionally (identity when saturation/
+    hue drew identity — matching the reference, which also always
+    converts)."""
+    bc5 = (slice(None), slice(None), None, None, None)  # [B,N]→[B,N,1,1,1]
+    bc4 = (slice(None), slice(None), None, None)        # [B,N]→[B,N,1,1]
+    x = x + p[..., 0][bc5]
+    mode1 = (p[..., 1] == 1)[bc5]
+    alpha = p[..., 2][bc5]
+    x = x * jnp.where(mode1, alpha, 1.0)
+    # BGR → HSV (cv2 semantics: H degrees, S [0,1], V [0,255])
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    num = jnp.where(maxc == r, g - b,
+                    jnp.where(maxc == g, (b - r) + delta * 2.0,
+                              (r - g) + delta * 4.0))
+    h = num * (60.0 / jnp.maximum(delta, 1e-12))
+    h = jnp.where(delta == 0, 0.0, h)
+    h = jnp.where(h < 0, h + 360.0, h)
+    # saturation scale + hue shift (single wrap, like the reference)
+    s = s * p[..., 3][bc4]
+    h = h + p[..., 4][bc4]
+    h = jnp.where(h > 360.0, h - 360.0, h)
+    h = jnp.where(h < 0.0, h + 360.0, h)
+    # HSV → BGR via the branch-free wheel formula (== the p/q/t table)
+    h60 = h * (1.0 / 60.0)
+    vs = maxc * s
+
+    def chan(n):
+        k = (n + h60) % 6.0
+        w = jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+        return maxc - vs * w
+
+    x = jnp.stack([chan(1.0), chan(3.0), chan(5.0)], axis=-1)
+    x = x * jnp.where(mode1, 1.0, alpha)
+    # per-image channel swap: gather along the last axis
+    x = jnp.take_along_axis(x, perm[:, :, None, None, :], axis=-1)
+    return x
+
+
+def normalize_batch_images(batch: Dict[str, jnp.ndarray], dc) -> Dict:
+    """On-device analog of [PhotoMetricDistortion (train) →]
+    NormalizeMultiviewImage → PadMultiViewImage(0) for uint8-transferred
+    batches (DataConfig.normalize_on_device — 4× fewer host→device
+    bytes; data/loader.py::prepare_sample).
+
+    No-op for float batches (bench/tests feed pre-normalized fp32).
     ``img_shape`` [B, 2] records the pre-pad content extent so padding
     stays exactly 0 in normalized space, matching the host pipeline's
-    normalize-then-pad order (pipeline.py:47-56)."""
+    normalize-then-pad order (pipeline.py:47-56; the aug runs before
+    the pad mask, so distorted padding is re-zeroed exactly)."""
     imgs = batch.get("images")
-    if imgs is None or imgs.dtype not in (jnp.uint8, jnp.float16):
+    if imgs is None or imgs.dtype != jnp.uint8:
         return batch
     x = imgs.astype(jnp.float32)
+    pp = batch.get("photo_params")
+    if pp is not None:
+        x = _device_photometric(x, pp, batch["photo_perm"])
     if dc.to_rgb:
         x = x[..., ::-1]
     mean = jnp.asarray(dc.img_mean, jnp.float32)
@@ -59,6 +117,8 @@ def normalize_batch_images(batch: Dict[str, jnp.ndarray], dc) -> Dict:
         x = x * mask[..., None].astype(x.dtype)
     out = dict(batch)
     out["images"] = x
+    out.pop("photo_params", None)
+    out.pop("photo_perm", None)
     return out
 
 
