@@ -214,3 +214,36 @@ def test_gridmask_stripes_match_reference_loop():
                                       reference_rows(h, d, st_h), err_msg=f"{h},{d},{st_h}")
         np.testing.assert_array_equal(np.asarray(col),
                                       reference_rows(w, d, st_w), err_msg=f"{w},{d},{st_w}")
+
+
+def test_native_jpeg_stack_matches_pil_route(tmp_path):
+    """load_multiview_stack_u8's native libjpeg path is bit-identical to
+    the PIL route (same libjpeg-turbo under both), zero-pads the border,
+    and PNG inputs exercise the fallback."""
+    from PIL import Image
+
+    from transcar_tpu.data.pipeline import (load_multiview_images_u8,
+                                            load_multiview_stack_u8,
+                                            stack_views)
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(2):
+        img = rng.normal(128, 40, (30, 45, 3)).clip(0, 255).astype(np.uint8)
+        p = str(tmp_path / f"c{i}.jpg")
+        Image.fromarray(img).save(p, "JPEG", quality=90)
+        paths.append(p)
+
+    stack, shape = load_multiview_stack_u8(paths, pad_divisor=32)
+    assert stack.shape == (2, 32, 64, 3) and stack.dtype == np.uint8
+    assert shape.tolist() == [30, 45]
+    pil = stack_views(pad_to_divisor(load_multiview_images_u8(paths), 32),
+                      np.uint8)
+    np.testing.assert_array_equal(stack, pil)
+    assert (stack[:, 30:, :, :] == 0).all() and (stack[:, :, 45:] == 0).all()
+
+    # PNG → PIL fallback, same contract
+    p_png = str(tmp_path / "c0.png")
+    Image.fromarray(rng.integers(0, 255, (30, 45, 3), np.uint8)).save(p_png)
+    stack2, shape2 = load_multiview_stack_u8([p_png, p_png], pad_divisor=32)
+    assert stack2.shape == (2, 32, 64, 3) and shape2.tolist() == [30, 45]

@@ -72,10 +72,8 @@ def prepare_sample(sample: Sample, cfg: DataConfig, training: bool,
     dilemma: the aug's output range leaves [0, 255] (the reference
     never clips, transform_3d.py:139-180), which uint8 could not carry."""
     if cfg.normalize_on_device:
-        imgs = pp.load_multiview_images_u8(sample.img_paths)
-        img_shape = np.asarray(imgs[0].shape[:2], np.int32)
-        imgs = pp.pad_to_divisor(imgs, cfg.pad_divisor)
-        images = pp.stack_views(imgs, dtype=np.uint8)
+        images, img_shape = pp.load_multiview_stack_u8(
+            sample.img_paths, cfg.pad_divisor)
     else:
         imgs = pp.load_multiview_images(sample.img_paths)
         if training and cfg.photometric_distortion:

@@ -49,6 +49,42 @@ def load_multiview_images_u8(paths: Sequence[str]) -> List[np.ndarray]:
     return imgs
 
 
+def load_multiview_stack_u8(paths: Sequence[str], pad_divisor: int = 32):
+    """Decode a camera ring straight into one padded uint8 BGR stack.
+
+    Returns ([N, H_pad, W_pad, 3] uint8, img_shape [2] int32).  For
+    all-JPEG inputs with the native library available, libjpeg-turbo
+    writes BGR scanlines directly into the padded slots
+    (native/jpeg_decode.cpp) — decode, channel order, pad and stack in
+    ONE pass, bit-identical to the PIL route (same libjpeg-turbo).
+    Anything else (PNG fixtures, native build unavailable, decode
+    error) falls back to the PIL route + numpy pad/stack."""
+    if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        try:
+            from PIL import Image
+
+            from transcar_tpu import native
+
+            datas = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    datas.append(f.read())
+            import io
+
+            with Image.open(io.BytesIO(datas[0])) as im:   # header-only
+                w, h = im.size
+            ph = (h + pad_divisor - 1) // pad_divisor * pad_divisor
+            pw = (w + pad_divisor - 1) // pad_divisor * pad_divisor
+            stack, hw = native.decode_jpeg_multiview(datas, ph, pw)
+            return stack, np.asarray(hw, np.int32)
+        except Exception:
+            pass                                  # PIL fallback below
+    imgs = load_multiview_images_u8(paths)
+    shape = np.asarray(imgs[0].shape[:2], np.int32)
+    imgs = pad_to_divisor(imgs, pad_divisor)
+    return stack_views(imgs, np.uint8), shape
+
+
 def normalize_images(imgs: List[np.ndarray], mean, std,
                      to_rgb: bool = False) -> List[np.ndarray]:
     mean = np.asarray(mean, np.float32)

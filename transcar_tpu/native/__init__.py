@@ -123,3 +123,41 @@ def radar_featurize(per_channel, rotations, ref_rot,
         rng6.ctypes.data_as(fptr), ctypes.c_float(pad_value), num_tokens,
         out.ctypes.data_as(fptr))
     return out
+
+
+def decode_jpeg_multiview(datas, pad_h: int, pad_w: int) -> "np.ndarray":
+    """Decode N JPEG byte strings into one pre-padded uint8 BGR stack.
+
+    Returns ([N, pad_h, pad_w, 3] uint8, (h, w) of the first image).
+    One native pass per image: libjpeg-turbo writes BGR scanlines
+    directly into the padded slot (no flip/pad/stack copies — see
+    jpeg_decode.cpp).  Raises on decode failure or images larger than
+    the padded buffer; callers fall back to the PIL route."""
+    lib = _load()
+    if not hasattr(lib, "_jpeg_sig"):
+        lib.jpeg_decode_bgr.restype = ctypes.c_int
+        lib.jpeg_decode_bgr.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib._jpeg_sig = True
+    n = len(datas)
+    out = np.zeros((n, pad_h, pad_w, 3), np.uint8)
+    gh = ctypes.c_int(0)
+    gw = ctypes.c_int(0)
+    hw = None
+    uptr = ctypes.POINTER(ctypes.c_ubyte)
+    for i, data in enumerate(datas):
+        buf = np.frombuffer(data, np.uint8)
+        rc = lib.jpeg_decode_bgr(
+            buf.ctypes.data_as(uptr), ctypes.c_ulong(len(data)),
+            out[i].ctypes.data_as(uptr), pad_h, pad_w,
+            ctypes.byref(gh), ctypes.byref(gw))
+        if rc != 0:
+            raise RuntimeError(f"jpeg_decode_bgr failed with code {rc}")
+        if hw is None:
+            hw = (gh.value, gw.value)
+        elif hw != (gh.value, gw.value):
+            raise RuntimeError("multi-view images disagree on size: "
+                               f"{hw} vs {(gh.value, gw.value)}")
+    return out, hw
