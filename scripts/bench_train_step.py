@@ -13,12 +13,13 @@ from transcar_tpu.train.step import init_state, make_train_step
 ITERS = 5
 
 
-def run(tag, freeze, dcn_impl="auto"):
+def run(tag, freeze, dcn_impl="auto", remat="auto"):
     import dataclasses
     cfg = ge._tiny_cfg()
     optim = dataclasses.replace(cfg.train.optim,
                                 freeze_camera_branch=freeze)
-    bb = dataclasses.replace(cfg.model.backbone, dcn_impl=dcn_impl)
+    bb = dataclasses.replace(cfg.model.backbone, dcn_impl=dcn_impl,
+                             remat=remat)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, backbone=bb),
@@ -47,6 +48,14 @@ def main():
     print("devices:", jax.devices(), flush=True)
     run("full backward, pallas DCN vjp ", False, dcn_impl="pallas")
     run("fusion-only (stop_camera_grad)", True)
+    try:
+        # remat=off trades HBM for no block recompute on the backward;
+        # may OOM at full res — measured, not assumed
+        run("full backward, remat off     ", False, dcn_impl="pallas",
+            remat="off")
+    except Exception as e:
+        print(f"full backward, remat off: failed ({type(e).__name__}) "
+              f"- does not fit", flush=True)
 
 
 if __name__ == "__main__":

@@ -150,3 +150,34 @@ def test_resolve_dcn_band_widens_for_full_training():
     assert resolve_dcn_band(full, training=True) == FULL_TRAIN_MIN_BAND
     # eval of the SAME config sees the same band (train/eval consistency)
     assert resolve_dcn_band(full, training=False) == FULL_TRAIN_MIN_BAND
+
+
+def test_backbone_remat_policy():
+    """remat="auto" wraps backbone blocks in nn.remat only when a camera
+    backward exists (full-backbone training): its checkpoint boundaries
+    cost ~20 ms/sample of pure layout copies at inference
+    (docs/PERF_NOTES.md remat section).  "on"/"off" force either way."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from transcar_tpu.models.detector import build_model
+
+    cfg = ge._tiny_cfg()   # transcar: fusion head + frozen camera branch
+    assert build_model(cfg).backbone_remat is False
+    assert build_model(cfg, training=True).backbone_remat is False
+
+    full = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, optim=dataclasses.replace(
+                cfg.train.optim, freeze_camera_branch=False)))
+    assert build_model(full, training=True).backbone_remat is True
+    assert build_model(full).backbone_remat is False   # eval of same cfg
+
+    def with_remat(c, mode):
+        return dataclasses.replace(c, model=dataclasses.replace(
+            c.model, backbone=dataclasses.replace(
+                c.model.backbone, remat=mode)))
+
+    assert build_model(with_remat(full, "off"),
+                       training=True).backbone_remat is False
+    assert build_model(with_remat(cfg, "on")).backbone_remat is True

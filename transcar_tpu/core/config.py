@@ -92,6 +92,16 @@ class BackboneConfig:
                                      # so exactness is rows-independent
                                      # and the knob applies to training
                                      # and inference alike
+    remat: str = "auto"              # backbone-block rematerialization:
+                                     # "auto" → on only when a camera
+                                     # backward exists (full-backbone
+                                     # training; HBM for recompute) —
+                                     # its checkpoint boundaries cost
+                                     # ~20 ms/sample of layout copies,
+                                     # so inference/frozen-camera skip
+                                     # it.  "on"/"off" force either way
+                                     # (e.g. "off" trades HBM for a
+                                     # faster full-train backward)
 
 
 @dataclass(frozen=True)

@@ -226,8 +226,11 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     # block XLA layout propagation between blocks and insert pure
     # data-formatting copies (~20 ms/sample on the flagship, 16% of the
     # step — jax.profiler trace, docs/PERF_NOTES.md round-3 remat note).
-    # Only rematerialize when a camera backward actually exists.
-    remat = training and camera_branch_trains(cfg)
+    # "auto": rematerialize only when a camera backward actually exists.
+    if m.backbone.remat == "auto":
+        remat = training and camera_branch_trains(cfg)
+    else:
+        remat = m.backbone.remat == "on"
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,
