@@ -28,10 +28,18 @@ def _wait_for_backend(max_tries: int = 6, sleep_s: float = 150.0) -> None:
     this process — and proceed after the first success (or after the
     last try, letting the real init surface the error).  stderr only:
     stdout stays the single JSON line."""
+    # a CPU fallback is only a "success" when the user explicitly asked
+    # for CPU — otherwise jax quietly degrading to host CPU during a TPU
+    # outage would let the bench print a garbage non-TPU number
+    probe_src = (
+        "import os, sys, jax\n"
+        "plat = jax.devices()[0].platform\n"
+        "want_cpu = os.environ.get('JAX_PLATFORMS', '') in ('', 'cpu')\n"
+        "sys.exit(0 if (plat != 'cpu' or want_cpu) else 1)\n")
     for i in range(max_tries):
         try:
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe_src],
                 capture_output=True, timeout=600)
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:

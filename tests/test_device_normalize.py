@@ -64,8 +64,14 @@ def test_device_photometric_matches_host_apply():
     rng = np.random.default_rng(2)
     imgs = [rng.integers(0, 256, (30, 45, 3)).astype(np.float32)
             for _ in range(3)]
+    # dark pixels + negative brightness + identity sat/hue: the HSV
+    # round trip is NOT an identity there (V = max ≤ 0 forces S = 0,
+    # collapsing the pixel to grey) — the regression a conditional
+    # host-side round-trip skip introduced (review finding, measured
+    # 17-intensity divergence)
+    imgs[1][:8, :8] = rng.integers(0, 12, (8, 8, 3)).astype(np.float32)
     params = np.array([[17.0, 1.0, 1.4, 1.3, 15.0],     # mode-1 contrast
-                       [-28.0, 0.0, 0.6, 0.7, -12.0],   # mode-0 contrast
+                       [-28.0, 0.0, 0.6, 1.0, 0.0],     # dark + identity
                        [0.0, 0.0, 1.0, 1.0, 0.0]],      # all identity
                       np.float32)
     perms = np.array([[2, 0, 1], [0, 1, 2], [1, 2, 0]], np.int32)

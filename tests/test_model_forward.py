@@ -181,3 +181,27 @@ def test_backbone_remat_policy():
     assert build_model(with_remat(full, "off"),
                        training=True).backbone_remat is False
     assert build_model(with_remat(cfg, "on")).backbone_remat is True
+
+
+def test_vovnet_remat_trains():
+    """remat=True VoVNet (full-backbone training HBM control) stays
+    differentiable: nn.remat-wrapped OSA blocks produce finite grads."""
+    from transcar_tpu.models.vovnet import VoVNet
+
+    vn = VoVNet(compute_dtype=None, remat=True, out_stages=(2,))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    params = vn.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(vn.apply(p, x)[0].astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # and some stem gradient is non-zero (the chain actually backprops)
+    flat = {"/".join(k.key for k in path): v for path, v in
+            jax.tree_util.tree_flatten_with_path(g)[0]}
+    stem = [v for k, v in flat.items() if "stem1" in k]
+    assert stem and any(float(np.abs(np.asarray(v)).max()) > 0
+                        for v in stem)

@@ -116,28 +116,32 @@ def pad_to_divisor(imgs: List[np.ndarray], divisor: int = 32,
 # photometric distortion (train only)
 # ---------------------------------------------------------------------------
 
-def _bgr2hsv(img: np.ndarray) -> np.ndarray:
+def _bgr2hsv(img, xp=np):
     """float32 BGR [0,255] → HSV with H in degrees (mmcv/cv2 semantics).
 
     Branch-light formulation: one shared division for the hue sector
     instead of three (the per-sector offsets 120°/240° become
-    2Δ/4Δ added to the numerator, which is algebraically identical)."""
+    2Δ/4Δ added to the numerator, which is algebraically identical).
+
+    ``xp`` selects the array namespace: ONE implementation serves both
+    the host loader fallback (numpy) and the fused on-device aug
+    (jax.numpy, train/step.py) — the two paths cannot drift."""
     b, g, r = img[..., 0], img[..., 1], img[..., 2]
-    maxc = np.maximum(np.maximum(r, g), b)
-    minc = np.minimum(np.minimum(r, g), b)
+    maxc = xp.maximum(xp.maximum(r, g), b)
+    minc = xp.minimum(xp.minimum(r, g), b)
     delta = maxc - minc
-    s = np.where(maxc > 0, delta / np.maximum(maxc, np.float32(1e-12)),
+    s = xp.where(maxc > 0, delta / xp.maximum(maxc, np.float32(1e-12)),
                  np.float32(0.0))
-    num = np.where(maxc == r, g - b,
-                   np.where(maxc == g, (b - r) + delta * np.float32(2.0),
+    num = xp.where(maxc == r, g - b,
+                   xp.where(maxc == g, (b - r) + delta * np.float32(2.0),
                             (r - g) + delta * np.float32(4.0)))
-    h = num * (np.float32(60.0) / np.maximum(delta, np.float32(1e-12)))
-    h = np.where(delta == 0, np.float32(0.0), h)
-    h = np.where(h < 0, h + np.float32(360.0), h)
-    return np.stack([h, s, maxc], axis=-1)
+    h = num * (np.float32(60.0) / xp.maximum(delta, np.float32(1e-12)))
+    h = xp.where(delta == 0, np.float32(0.0), h)
+    h = xp.where(h < 0, h + np.float32(360.0), h)
+    return xp.stack([h, s, maxc], axis=-1)
 
 
-def _hsv2bgr(img: np.ndarray) -> np.ndarray:
+def _hsv2bgr(img, xp=np):
     """Inverse of :func:`_bgr2hsv` via the branch-free "wheel" formula —
     channel(n) = V − V·S·clip(min(k, 4−k), 0, 1) with k = (n + H/60) mod 6
     — which equals the classic p/q/t six-sector table exactly (the old
@@ -148,11 +152,11 @@ def _hsv2bgr(img: np.ndarray) -> np.ndarray:
 
     def chan(n):
         k = (n + h60) % np.float32(6.0)
-        w = np.clip(np.minimum(k, np.float32(4.0) - k),
+        w = xp.clip(xp.minimum(k, np.float32(4.0) - k),
                     np.float32(0.0), np.float32(1.0))
         return v - vs * w
 
-    return np.stack([chan(np.float32(1)), chan(np.float32(3)),
+    return xp.stack([chan(np.float32(1)), chan(np.float32(3)),
                      chan(np.float32(5))], axis=-1)
 
 
@@ -195,20 +199,22 @@ def apply_photometric(img: np.ndarray, p: np.ndarray,
 
     Matches the reference op order: brightness → contrast (mode 1) →
     HSV → saturation → hue → BGR → contrast (mode 0) → channel swap.
-    The HSV round trip is skipped when both saturation and hue drew
-    their identity (the reference converts unconditionally; an identity
-    round trip differs only by float rounding ≲1e-3 intensity)."""
+    The HSV round trip runs UNCONDITIONALLY, like the reference
+    (transform_3d.py:153-168) and the device path: it is NOT an identity
+    for out-of-gamut pixels — a brightness-darkened all-negative pixel
+    has V = max ≤ 0, which forces S = 0 and collapses it to grey — so
+    skipping it on identity saturation/hue draws would diverge
+    (measured 17-intensity differences on dark pixels)."""
     img = img.astype(np.float32) + p[0]
     if p[1] == 1 and p[2] != 1.0:
         img = img * p[2]
-    if p[3] != 1.0 or p[4] != 0.0:
-        hsv = _bgr2hsv(img)
-        hsv[..., 1] *= p[3]
-        h = hsv[..., 0] + p[4]
-        h[h > 360] -= 360
-        h[h < 0] += 360
-        hsv[..., 0] = h
-        img = _hsv2bgr(hsv)
+    hsv = _bgr2hsv(img)
+    hsv[..., 1] *= p[3]
+    h = hsv[..., 0] + p[4]
+    h[h > 360] -= 360
+    h[h < 0] += 360
+    hsv[..., 0] = h
+    img = _hsv2bgr(hsv)
     if p[1] == 0 and p[2] != 1.0:
         img = img * p[2]
     return img[..., perm]

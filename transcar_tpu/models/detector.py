@@ -61,6 +61,7 @@ class TransCARDetector(nn.Module):
             self.backbone = VoVNet(
                 compute_dtype=bc.compute_dtype,
                 reduce_impl=self.osa_reduce_impl,
+                remat=self.backbone_remat,
                 stem_impl=self.stem_impl, name="backbone")
         else:
             raise ValueError(f"unknown backbone {bc.kind!r}")

@@ -165,6 +165,9 @@ class VoVNet(nn.Module):
                                    # same params, conv math re-expressed
                                    # on the stride-4 phase grid where XLA
                                    # hits 85-91% MFU instead of 14-30%)
+    remat: bool = False            # rematerialize OSA blocks on backward
+                                   # (full-backbone training HBM control;
+                                   # resolved by build_model like ResNet)
     interpret: bool = False
 
     # measured-best TPU-inference mix (scripts/bench_vovnet_mixes.py,
@@ -215,8 +218,9 @@ class VoVNet(nn.Module):
                 impl = self.PALLAS_STAGE_IMPLS[si]
             else:
                 impl = self.reduce_impl
+            block_cls = nn.remat(OSABlock) if self.remat else OSABlock
             for b in range(spec["block_per_stage"][si]):
-                x = OSABlock(
+                x = block_cls(
                     spec["stage_conv_ch"][si],
                     spec["stage_out_ch"][si],
                     spec["layer_per_block"],

@@ -26,9 +26,16 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    # ALWAYS invoke make: it is dependency-tracked (a ~50 ms no-op when
+    # fresh) and rebuilds a stale .so from before a source was added —
+    # an exists-only check left old builds missing newer symbols, which
+    # silently demoted e.g. the native JPEG path to its PIL fallback.
+    try:
         subprocess.run(["make", "-C", _DIR], check=True,
                        capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_SO):
+            raise            # no compiler AND no prebuilt library
     lib = ctypes.CDLL(_SO)
     lib.lapjv_solve.restype = ctypes.c_int
     lib.lapjv_solve.argtypes = [

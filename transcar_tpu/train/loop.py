@@ -196,11 +196,17 @@ def train(cfg: TransCARConfig,
         logger.log(rec)
 
     # profiler-trace window (rank 0): [trace_start, trace_start+trace_steps)
-    tracing = {"on": False, "done": trace_dir is None or pi != 0}
+    # counted in steps SINCE THIS PROCESS STARTED (a resumed run's global
+    # step is already past the window, but its first local steps are the
+    # cold-compile ones the window exists to skip)
+    tracing = {"on": False, "done": trace_dir is None or pi != 0,
+               "local": 0}
 
-    def trace_tick(gstep: int, state):
+    def trace_tick(state):
         if tracing["done"]:
             return
+        gstep = tracing["local"]
+        tracing["local"] += 1
         if not tracing["on"] and gstep >= trace_start:
             # drain queued work so the trace holds only steady-state steps
             int(jax.device_get(state.step))
@@ -216,7 +222,7 @@ def train(cfg: TransCARConfig,
     for epoch in range(start_epoch, cfg.train.optim.total_epochs):
         t_iter = time.time()
         for i, batch in enumerate(loader.epoch(epoch)):
-            trace_tick(epoch * steps_per_epoch + i, state)
+            trace_tick(state)
             sharded = shard_batch(batch, mesh)
             state, losses = train_step(state, sharded, rng)
             if (i + 1) % log_interval == 0:

@@ -43,42 +43,27 @@ def _device_photometric(x: jnp.ndarray, p: jnp.ndarray,
     contrast_alpha, saturation_alpha, hue_deg); perm [B, N, 3] int32.
     Op order matches the reference: brightness → contrast(mode 1) →
     HSV → saturation → hue → BGR → contrast(mode 0) → channel swap.
-    The HSV round trip runs unconditionally (identity when saturation/
-    hue drew identity — matching the reference, which also always
-    converts)."""
+    The HSV round trip runs unconditionally like the reference — it is
+    NOT an identity for out-of-gamut (e.g. brightness-darkened
+    all-negative) pixels, which collapse to grey via S = 0; the host
+    path (pipeline.py::apply_photometric) matches exactly."""
+    from transcar_tpu.data import pipeline as _pp
+
     bc5 = (slice(None), slice(None), None, None, None)  # [B,N]→[B,N,1,1,1]
     bc4 = (slice(None), slice(None), None, None)        # [B,N]→[B,N,1,1]
     x = x + p[..., 0][bc5]
     mode1 = (p[..., 1] == 1)[bc5]
     alpha = p[..., 2][bc5]
     x = x * jnp.where(mode1, alpha, 1.0)
-    # BGR → HSV (cv2 semantics: H degrees, S [0,1], V [0,255])
-    b, g, r = x[..., 0], x[..., 1], x[..., 2]
-    maxc = jnp.maximum(jnp.maximum(r, g), b)
-    minc = jnp.minimum(jnp.minimum(r, g), b)
-    delta = maxc - minc
-    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
-    num = jnp.where(maxc == r, g - b,
-                    jnp.where(maxc == g, (b - r) + delta * 2.0,
-                              (r - g) + delta * 4.0))
-    h = num * (60.0 / jnp.maximum(delta, 1e-12))
-    h = jnp.where(delta == 0, 0.0, h)
-    h = jnp.where(h < 0, h + 360.0, h)
-    # saturation scale + hue shift (single wrap, like the reference)
+    # BGR → HSV → BGR through the SAME converters as the host fallback
+    # (data/pipeline.py, xp=jnp) — one implementation, no drift
+    hsv = _pp._bgr2hsv(x, xp=jnp)
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
     s = s * p[..., 3][bc4]
-    h = h + p[..., 4][bc4]
+    h = h + p[..., 4][bc4]                 # single wrap, like the reference
     h = jnp.where(h > 360.0, h - 360.0, h)
     h = jnp.where(h < 0.0, h + 360.0, h)
-    # HSV → BGR via the branch-free wheel formula (== the p/q/t table)
-    h60 = h * (1.0 / 60.0)
-    vs = maxc * s
-
-    def chan(n):
-        k = (n + h60) % 6.0
-        w = jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
-        return maxc - vs * w
-
-    x = jnp.stack([chan(1.0), chan(3.0), chan(5.0)], axis=-1)
+    x = _pp._hsv2bgr(jnp.stack([h, s, v], axis=-1), xp=jnp)
     x = x * jnp.where(mode1, 1.0, alpha)
     # per-image channel swap: gather along the last axis
     x = jnp.take_along_axis(x, perm[:, :, None, None, :], axis=-1)
