@@ -85,16 +85,12 @@ def test_camera_head_matches_torch():
     shapes = [(16, 24), (8, 12), (4, 6), (2, 3)]
     feats = [rng.normal(size=(1, NCAM, h, w, E)).astype(np.float32)
              for h, w in shapes]
-    l2i = np.zeros((1, NCAM, 4, 4), np.float32)
-    for i in range(NCAM):
-        a = 2 * np.pi * i / NCAM
-        rot = np.array([[np.cos(a), -np.sin(a), 0],
-                        [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
-        k = np.array([[IMG_HW[1], 0, IMG_HW[1] / 2],
-                      [0, IMG_HW[1], IMG_HW[0] / 2], [0, 0, 1]], np.float32)
-        m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = k @ rot
-        l2i[0, i] = m
+    # VALID outward-ring geometry (tests/geom.py): the old forward-less
+    # ring masked every projection, making the sampled-feature term of
+    # this parity comparison vacuous (zeros vs zeros)
+    from tests.geom import camera_ring_l2i
+
+    l2i = camera_ring_l2i(NCAM, IMG_HW[0], IMG_HW[1])[None]
 
     params = head.init(jax.random.PRNGKey(3),
                        [jnp.asarray(f) for f in feats], jnp.asarray(l2i),

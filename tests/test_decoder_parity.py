@@ -93,8 +93,10 @@ def _torch_layer(p, query, query_pos, ref01, feats, l2i, pc):
         s = F.grid_sample(ft, grid[:, :, None, :], align_corners=False)
         sampled.append(s[..., 0].permute(0, 2, 1))        # [N, Q, E]
     samp = torch.stack(sampled, 2)         # [N, Q, L, E]
-    wsig = torch.sigmoid(w) * vis.permute(1, 0)[..., None, None].permute(
-        1, 0, 2, 3).reshape(Q, NCAM, 1, 1)
+    # vis is [N, Q] → [Q, N, 1, 1] via a real transpose (a reshape of the
+    # [N, Q] layout scrambles (q, cam) pairs — caught once the fixture
+    # geometry produced nonzero visibility)
+    wsig = torch.sigmoid(w) * vis.permute(1, 0)[:, :, None, None]
     fused = torch.einsum("nqle,qnpl->qe", samp,
                          wsig.reshape(Q, NCAM, 1, NLVL))
     out = fused @ _t(ca["output_proj"]["kernel"]) + _t(
@@ -123,16 +125,12 @@ def test_decoder_layer_matches_torch():
     shapes = [(16, 24), (8, 12), (4, 6), (2, 3)]
     feats = [rng.normal(size=(1, NCAM, h, w, E)).astype(np.float32)
              for h, w in shapes]
-    l2i = np.zeros((1, NCAM, 4, 4), np.float32)
-    for i in range(NCAM):
-        a = 2 * np.pi * i / NCAM
-        rot = np.array([[np.cos(a), -np.sin(a), 0],
-                        [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
-        k = np.array([[IMG_HW[1], 0, IMG_HW[1] / 2],
-                      [0, IMG_HW[1], IMG_HW[0] / 2], [0, 0, 1]], np.float32)
-        m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = k @ rot
-        l2i[0, i] = m
+    # VALID outward-ring geometry (tests/geom.py): with the old
+    # forward-less ring every projection was masked and this parity
+    # compared zeros against zeros for the sampled-feature term
+    from tests.geom import camera_ring_l2i
+
+    l2i = camera_ring_l2i(NCAM, IMG_HW[0], IMG_HW[1])[None]
 
     params = layer.init(jax.random.PRNGKey(0), jnp.asarray(query),
                         jnp.asarray(query_pos), jnp.asarray(ref01),

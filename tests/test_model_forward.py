@@ -22,17 +22,11 @@ def _tiny_head(**kw):
 
 def _inputs(rng, with_radar=True):
     images = rng.normal(size=(B, N, H, W, 3)).astype(np.float32)
-    # plausible pinhole lidar2img: focal ~ W, principal point center
-    l2i = np.zeros((B, N, 4, 4), np.float32)
-    for i in range(N):
-        a = 2 * np.pi * i / N
-        rot = np.array([[np.cos(a), -np.sin(a), 0],
-                        [np.sin(a), np.cos(a), 0],
-                        [0, 0, 1]], np.float32)
-        k = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]], np.float32)
-        m = np.eye(4, dtype=np.float32)
-        m[:3, :3] = k @ rot
-        l2i[0, i] = m
+    # valid outward camera ring so sampled image features actually reach
+    # the head (tests/geom.py)
+    from tests.geom import camera_ring_l2i
+
+    l2i = camera_ring_l2i(N, H, W)[None]
     radar = None
     if with_radar:
         radar = np.full((B, T, 36), 500.0, np.float32)
