@@ -313,8 +313,9 @@ def evaluate(cfg: TransCARConfig, params,
         modality="lidar" if cfg.model.lidar_encoder else "camera")
     local = {"boxes": [], "scores": [], "labels": [], "valid": [],
              "sample_idx": []}
-    for bidx, batch in enumerate(loader.epoch(0)):
-        out = eval_step(params, batch, batch_stats)
+
+    def _collect(bidx, out):
+        # device→host pull happens HERE, one batch behind the dispatch
         out = {k: np.asarray(v) for k, v in out.items()}
         for row in range(batch_size):
             pos = bidx * batch_size + row
@@ -325,6 +326,19 @@ def evaluate(cfg: TransCARConfig, params,
             local["labels"].append(out["labels"][row])
             local["valid"].append(out["valid"][row])
             local["sample_idx"].append(np.int32(my_indices[pos]))
+
+    # One-deep software pipeline: jax dispatch is async, so issuing batch
+    # i+1's transfer+compute BEFORE pulling batch i's (small) outputs
+    # overlaps device compute with the host-side fetch/convert/append —
+    # the reference's single_gpu_test is fully serial (tools/test.py:214).
+    pending = None
+    for bidx, batch in enumerate(loader.epoch(0)):
+        out = eval_step(params, batch, batch_stats)
+        if pending is not None:
+            _collect(*pending)
+        pending = (bidx, out)
+    if pending is not None:
+        _collect(*pending)
     n_local = len(local["sample_idx"])
     stacked = {k: np.stack(v) if n_local else np.zeros(
         (0,) + _eval_leaf_shape(k, cfg), _eval_leaf_dtype(k))
