@@ -110,7 +110,9 @@ def main():
     sps = iters * b / dt
     overflow = float(res[1])
 
-    print(json.dumps({
+    from transcar_tpu.utils.profiling import hbm_stats
+    hbm = hbm_stats()
+    rec = {
         "metric": "transcar_r101_6cam_928x1600_bs1_infer",
         "value": round(sps, 3),
         "unit": "samples/s",
@@ -119,7 +121,10 @@ def main():
         "baseline_basis": "DETR3D-R101-class bs1 V100 figure; the "
                           "reference publishes no FPS (SURVEY.md §6)",
         "dcn_overflow_frac": round(overflow, 6),
-    }))
+    }
+    if "peak_bytes" in hbm:
+        rec["hbm_peak_gb"] = round(hbm["peak_bytes"] / 2**30, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,22 @@ def main():
     run("transcar_r101 ", r101, 2)
     run("transcar_vovnet", vov, 1)
     run("transcar_vovnet", vov, 2)
+    for tag, cfg in (("transcar_r101 ", r101), ("transcar_vovnet", vov)):
+        try:                       # bs4 may exceed HBM at full res
+            run(tag, cfg, 4)
+        except Exception as e:     # noqa: BLE001 — record and continue
+            print(f"{tag} bs4: failed ({type(e).__name__})", flush=True)
+    # opt-in int8 serving mode (ops/int8.py): measured, never default
+    import dataclasses
+    bb = dataclasses.replace(vov.model.backbone, quantize="int8")
+    vov_q = dataclasses.replace(
+        vov, model=dataclasses.replace(vov.model, backbone=bb))
+    for b in (1, 2):
+        try:
+            run("transcar_vovnet int8", vov_q, b)
+        except Exception as e:     # noqa: BLE001 — record and continue
+            print(f"transcar_vovnet int8 bs{b}: failed "
+                  f"({type(e).__name__}: {e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,14 @@ class BackboneConfig:
                                      # the one-hot, single dot).  Same
                                      # band semantics; measured tie on
                                      # v5e (docs/PERF_NOTES.md)
+    quantize: str = "none"           # "none" | "int8": dynamic int8
+                                     # backbone convs at INFERENCE
+                                     # (ops/int8.py; per-channel weight +
+                                     # per-tensor activation scales on
+                                     # the 2x-peak MXU int8 path).
+                                     # Opt-in accuracy-for-speed serving
+                                     # mode — never a parity path, forced
+                                     # off in training by build_model
     block_impl: str = "auto"         # ResNet stride-1 non-DCN blocks:
                                      # "auto" | "xla" | "fused" (one
                                      # Pallas kernel per bottleneck,

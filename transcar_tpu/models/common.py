@@ -241,7 +241,12 @@ class ConvBN(nn.Module):
 
     ``norm='frozen'`` (camera trunk, norm_eval) folds stored statistics;
     ``norm='batch'`` (LiDAR track) is trainable BatchNorm — pass
-    ``train=True`` during training steps."""
+    ``train=True`` during training steps.
+
+    ``quantize='int8'`` (opt-in serving mode, ops/int8.py) runs the conv
+    as dynamic int8 x int8 → int32 on the MXU and dequantizes into
+    ``dtype``; the param tree is IDENTICAL to the fp path (same
+    ``conv/kernel``), so checkpoints are interchangeable."""
 
     features: int
     kernel: int = 3
@@ -253,19 +258,32 @@ class ConvBN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     norm: str = "frozen"
     bn_eps: float = 1e-5
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.quantize == "int8":
+            if self.use_bias:
+                raise ValueError("int8 ConvBN supports use_bias=False "
+                                 "(backbone convs); bias lives in BN")
+            from transcar_tpu.ops.int8 import dynamic_int8_conv
+
+            k = ConvKernelParams(x.shape[-1], self.features, self.kernel,
+                                 name="conv")()
+            x = dynamic_int8_conv(
+                x, k, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, out_dtype=self.dtype or x.dtype)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=self.bn_eps, dtype=x.dtype,

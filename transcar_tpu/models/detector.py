@@ -42,6 +42,8 @@ class TransCARDetector(nn.Module):
     backbone_remat: bool = True    # rematerialize backbone blocks
                                    # (resolved by build_model: only when a
                                    # camera backward is actually built)
+    backbone_quantize: str = "none"   # "int8" serving mode (resolved by
+                                      # build_model; never set in training)
 
     def setup(self):
         bc = self.cfg.backbone
@@ -56,13 +58,15 @@ class TransCARDetector(nn.Module):
                 dcn_variant=bc.dcn_variant,
                 stem_impl=self.stem_impl,
                 block_impl=self.block_impl,
+                quantize=self.backbone_quantize,
                 name="backbone")
         elif bc.kind == "vovnet99":
             self.backbone = VoVNet(
                 compute_dtype=bc.compute_dtype,
                 reduce_impl=self.osa_reduce_impl,
                 remat=self.backbone_remat,
-                stem_impl=self.stem_impl, name="backbone")
+                stem_impl=self.stem_impl,
+                quantize=self.backbone_quantize, name="backbone")
         else:
             raise ValueError(f"unknown backbone {bc.kind!r}")
         self.neck = FPN(
@@ -232,8 +236,13 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         remat = training and camera_branch_trains(cfg)
     else:
         remat = m.backbone.remat == "on"
+    # int8 is a serving-only accuracy-for-speed trade: training always
+    # runs the fp path (quantization would change gradients AND the
+    # round/clip ops have no useful derivative)
+    quant = "none" if training else m.backbone.quantize
     return TransCARDetector(m, dcn_impl=resolve_dcn_impl(cfg, training),
                             dcn_band_rows=resolve_dcn_band(cfg, training),
                             dcn_rows_per_step=rows,
                             osa_reduce_impl=osa, stem_impl=stem,
-                            block_impl=blk, backbone_remat=remat)
+                            block_impl=blk, backbone_remat=remat,
+                            backbone_quantize=quant)

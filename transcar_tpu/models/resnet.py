@@ -100,6 +100,10 @@ class Bottleneck(nn.Module):
     dcn_variant: str = "banded"
     dcn_interpret: bool = False
     impl: str = "xla"            # "xla" | "fused" (see class docstring)
+    quantize: str = "none"       # "int8": plain (non-DCN) convs run as
+                                 # dynamic int8 (ops/int8.py; the DCN
+                                 # conv2 and the experimental fused path
+                                 # stay fp)
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +135,8 @@ class Bottleneck(nn.Module):
                 interpret=self.dcn_interpret, **kw)
         identity = x
         out = ConvBN(self.planes, kernel=1, stride=self.stride, relu=True,
-                     dtype=x.dtype, name="conv1")(x)
+                     dtype=x.dtype, quantize=self.quantize,
+                     name="conv1")(x)
         if self.with_dcn:
             out = DCNConv(self.planes, self.planes, impl=self.dcn_impl,
                           band_rows=self.dcn_band_rows,
@@ -142,12 +147,14 @@ class Bottleneck(nn.Module):
             out = nn.relu(out)
         else:
             out = ConvBN(self.planes, kernel=3, stride=1, padding=1,
-                         relu=True, dtype=x.dtype, name="conv2")(out)
+                         relu=True, dtype=x.dtype, quantize=self.quantize,
+                         name="conv2")(out)
         out = ConvBN(self.planes * 4, kernel=1, relu=False, dtype=x.dtype,
-                     name="conv3")(out)
+                     quantize=self.quantize, name="conv3")(out)
         if self.downsample:
             identity = ConvBN(self.planes * 4, kernel=1, stride=self.stride,
                               relu=False, dtype=x.dtype,
+                              quantize=self.quantize,
                               name="downsample")(x)
         return nn.relu(out + identity)
 
@@ -171,6 +178,9 @@ class ResNet(nn.Module):
     block_impl: str = "xla"      # "xla" | "fused" — fused Pallas
                                  # bottleneck for stride-1 non-DCN blocks
                                  # (ops/pallas_bottleneck.py)
+    quantize: str = "none"       # "int8" serving mode (resolved by
+                                 # build_model; inference only, plain
+                                 # convs only — DCN stays fp)
 
     @nn.compact
     def __call__(self, x):
@@ -185,7 +195,8 @@ class ResNet(nn.Module):
             x = resnet_phase_stem(x, k.astype(dtype), bn_affine(*bn))
         else:
             x = ConvBN(64, kernel=7, stride=2, padding=3, relu=True,
-                       dtype=dtype, name="stem")(x)
+                       dtype=dtype, quantize=self.quantize,
+                       name="stem")(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
                             padding=[(1, 1), (1, 1)])
 
@@ -207,6 +218,7 @@ class ResNet(nn.Module):
                     dcn_variant=self.dcn_variant,
                     dcn_interpret=self.dcn_interpret,
                     impl=self.block_impl,
+                    quantize=self.quantize,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:

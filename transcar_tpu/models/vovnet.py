@@ -83,6 +83,9 @@ class OSABlock(nn.Module):
     rows_per_chunk: Optional[int] = None   # "fused": image rows per grid
                                            # step (None = whole image)
     interpret: bool = False        # pallas interpret mode (CPU tests)
+    quantize: str = "none"         # "int8": chain/reduce ConvBNs run as
+                                   # dynamic int8 (ops/int8.py; ignored
+                                   # by the experimental "fused" path)
 
     @nn.compact
     def __call__(self, x):
@@ -121,7 +124,7 @@ class OSABlock(nn.Module):
         outputs = [x]
         for i in range(self.layer_per_block):
             x = ConvBN(self.stage_ch, kernel=3, padding=1, dtype=x.dtype,
-                       name=f"conv{i}")(x)
+                       quantize=self.quantize, name=f"conv{i}")(x)
             outputs.append(x)
         if self.reduce_impl == "pallas":
             from transcar_tpu.ops.pallas_osa import osa_reduce
@@ -143,7 +146,7 @@ class OSABlock(nn.Module):
         else:
             x = jnp.concatenate(outputs, axis=-1)
             x = ConvBN(self.concat_ch, kernel=1, dtype=x.dtype,
-                       name="concat")(x)
+                       quantize=self.quantize, name="concat")(x)
             x = eSE(self.concat_ch, name="ese")(x)
         if self.identity:
             x = x + identity_feat
@@ -168,6 +171,8 @@ class VoVNet(nn.Module):
     remat: bool = False            # rematerialize OSA blocks on backward
                                    # (full-backbone training HBM control;
                                    # resolved by build_model like ResNet)
+    quantize: str = "none"         # "int8" serving mode (resolved by
+                                   # build_model; inference only)
     interpret: bool = False
 
     # measured-best TPU-inference mix (scripts/bench_vovnet_mixes.py,
@@ -195,12 +200,15 @@ class VoVNet(nn.Module):
                 k2.astype(dtype), bn_affine(*bn2),
                 k3.astype(dtype), bn_affine(*bn3))
         else:
+            # the stem sees raw-scale images whose dynamic range a
+            # per-tensor activation scale handles fine; quantize it with
+            # the rest of the backbone
             x = ConvBN(s1, kernel=3, stride=2, padding=1, dtype=dtype,
-                       name="stem1")(x)
+                       quantize=self.quantize, name="stem1")(x)
             x = ConvBN(s2, kernel=3, stride=1, padding=1, dtype=dtype,
-                       name="stem2")(x)
+                       quantize=self.quantize, name="stem2")(x)
             x = ConvBN(s3, kernel=3, stride=2, padding=1, dtype=dtype,
-                       name="stem3")(x)
+                       quantize=self.quantize, name="stem3")(x)
 
         outs = []
         for si in range(4):
@@ -229,6 +237,7 @@ class VoVNet(nn.Module):
                     rows_per_chunk=(self.STAGE_CHUNK_ROWS[si]
                                     if impl == "fused" else None),
                     interpret=self.interpret,
+                    quantize=self.quantize,
                     name=f"stage{stage_num}_block{b}",
                 )(x)
             if stage_num in self.out_stages:

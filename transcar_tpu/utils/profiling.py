@@ -59,3 +59,22 @@ class phase_timer:
             n = self.counts[name]
             lines.append(f"{name}: {total / n * 1000:.2f} ms/call ×{n}")
         return "\n".join(lines)
+
+
+def hbm_stats(device=None) -> Dict[str, int]:
+    """Live/peak device-memory counters (bytes).  Returns {} where the
+    backend exposes no memory_stats (some PJRT plugins / the CPU
+    backend).  The reference has no memory observability at all; on GPU
+    users fall back to nvidia-smi."""
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:          # noqa: BLE001 — plugin-dependent API
+        return {}
+    out = {}
+    for key, name in (("bytes_in_use", "live_bytes"),
+                      ("peak_bytes_in_use", "peak_bytes"),
+                      ("bytes_limit", "limit_bytes")):
+        if key in stats:
+            out[name] = int(stats[key])
+    return out
