@@ -93,3 +93,43 @@ def test_native_lapjv_matches_scipy():
     c1 = _matched_cost(cost, np.asarray(m), np.asarray(v))
     c2 = _matched_cost(cost, np.asarray(m2), np.asarray(v2))
     np.testing.assert_allclose(c1, c2, rtol=1e-4)
+
+
+def test_nonfinite_costs_terminate_and_match_sanitized_scipy():
+    """Regression: a NaN anywhere in the cost matrix used to spin the
+    on-device Dijkstra forever (NaN < x is False -> no column ever improves
+    ``shortest`` -> after q scans the loop re-selects a taken column with
+    sink still -1, unkillable inside jit).  Exploded mid-training
+    predictions produce exactly such costs; scipy RAISES on them, the
+    device solver must sanitize and terminate.
+
+    Poisoned entries here cannot be in any optimum (whole queries are
+    poisoned, with more finite queries than gts), so the matched cost must
+    EQUAL scipy's on the clamped matrix — graceful degradation, not just
+    termination."""
+    rng = np.random.default_rng(11)
+    cost = rng.normal(size=(30, 12)).astype(np.float32) * 5
+    cost[20:, :] = np.nan                 # queries 20-24: NaN
+    cost[25:, :] = np.inf                 # queries 25-29: +inf
+    cost[22, 3] = -np.inf
+    m, v = hungarian_match(jnp.asarray(cost), jnp.int32(12))
+    m, v = np.asarray(m), np.asarray(v)
+    assert v.all() and (m < 30).all()      # terminated, all slots matched
+    assert len(np.unique(m)) == 12         # one-to-one
+    clamped = np.clip(np.nan_to_num(cost, nan=1e7, posinf=1e7,
+                                    neginf=-1e7), -1e7, 1e7)
+    rows, cols = linear_sum_assignment(clamped.T.astype(np.float64))
+    np.testing.assert_allclose(
+        clamped.T[np.arange(12), m].astype(np.float64).sum(),
+        clamped.T.astype(np.float64)[rows, cols].sum(), rtol=1e-6)
+
+
+def test_all_nan_cost_terminates():
+    """Worst case: EVERY entry NaN (fully-exploded step).  The solver must
+    still terminate with a one-to-one assignment (any permutation is
+    equally optimal on the clamped uniform matrix)."""
+    cost = jnp.full((16, 8), jnp.nan, jnp.float32)
+    m, v = hungarian_match(cost, jnp.int32(8))
+    m, v = np.asarray(m), np.asarray(v)
+    assert v.all() and (m < 16).all()
+    assert len(np.unique(m)) == 8

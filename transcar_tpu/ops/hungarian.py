@@ -50,6 +50,18 @@ def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
       [G_max] bool validity (slot < num_gt).
     """
     cost = cost_qg.T.astype(jnp.float32)             # [G, Q], rows = gts
+    # scipy's solver RAISES on non-finite entries ("matrix contains
+    # invalid numeric entries"); inside jit we sanitize instead — a NaN
+    # cost (exploded predictions mid-training) otherwise breaks the
+    # Dijkstra invariant (NaN < x is False, so no column ever improves
+    # `shortest`) and the while_loop below spins FOREVER once every
+    # column is scanned without reaching a free one.  The big-M is 1e7,
+    # not fp32-max: dual potentials absorb matched costs, and fp32
+    # addition at 1e30 would erase the finite-scale costs of every later
+    # row sharing a column with a poisoned one (eps(1e7) ≈ 1 keeps the
+    # degraded regime sane); legitimate focal+L1 costs are ≤ ~1e3.
+    cost = jnp.clip(jnp.nan_to_num(cost, nan=1e7, posinf=1e7,
+                                   neginf=-1e7), -1e7, 1e7)
     g_max, q = cost.shape
     row_ids = jnp.arange(g_max)
     valid = row_ids < num_gt
@@ -63,10 +75,14 @@ def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
         sc = jnp.zeros((q,), bool)
 
         def dijkstra_cond(s):
-            return s[0] == -1
+            # the iteration bound is a termination backstop: with finite
+            # costs and num_gt ≤ q a free column is reached within q
+            # scans (each iteration marks one new column), so the bound
+            # never binds on sane inputs
+            return (s[0] == -1) & (s[1] < q)
 
         def dijkstra_body(s):
-            sink, i, min_val, sr, sc, shortest, path = s
+            sink, it, i, min_val, sr, sc, shortest, path = s
             sr = sr.at[i].set(True)
             reduced = min_val + cost[i] - u[i] - v
             lower = (~sc) & (reduced < shortest)
@@ -78,12 +94,12 @@ def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
             sc = sc.at[j].set(True)
             new_sink = jnp.where(row4col[j] == -1, j, jnp.int32(-1))
             next_i = jnp.where(new_sink == -1, row4col[j], i)
-            return new_sink, next_i, min_val, sr, sc, shortest, path
+            return new_sink, it + 1, next_i, min_val, sr, sc, shortest, path
 
-        sink, _, min_val, sr, sc, shortest, path = jax.lax.while_loop(
+        sink, _, _, min_val, sr, sc, shortest, path = jax.lax.while_loop(
             dijkstra_cond, dijkstra_body,
-            (jnp.int32(-1), cur_row.astype(jnp.int32), jnp.float32(0.0),
-             sr, sc, shortest, path))
+            (jnp.int32(-1), jnp.int32(0), cur_row.astype(jnp.int32),
+             jnp.float32(0.0), sr, sc, shortest, path))
 
         # potential updates (scipy rectangular_lsap.cpp semantics)
         u = u.at[cur_row].add(min_val)
@@ -92,20 +108,25 @@ def hungarian_match(cost_qg: jnp.ndarray, num_gt: jnp.ndarray):
         u = jnp.where(others, u + min_val - shortest[safe_cols], u)
         v = jnp.where(sc, v - (min_val - shortest), v)
 
-        # augment along the alternating path
+        # augment along the alternating path.  ``sink == -1`` only when
+        # the bounded Dijkstra bailed (degenerate inputs) — skip the
+        # augmentation and leave the row unmatched rather than follow a
+        # corrupt path; the iteration bound (a path alternates through at
+        # most g_max rows) is the same never-binds-on-sane-inputs backstop
         def aug_cond(s):
-            return ~s[0]
+            return (~s[0]) & (s[1] <= g_max)
 
         def aug_body(s):
-            _, j, col4row, row4col = s
+            _, it, j, col4row, row4col = s
             i = path[j]
             row4col = row4col.at[j].set(i)
             next_j = col4row[i]
             col4row = col4row.at[i].set(j)
-            return i == cur_row, next_j, col4row, row4col
+            return i == cur_row, it + 1, next_j, col4row, row4col
 
-        _, _, col4row, row4col = jax.lax.while_loop(
-            aug_cond, aug_body, (False, sink, col4row, row4col))
+        _, _, _, col4row, row4col = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (sink == -1, jnp.int32(0), sink, col4row, row4col))
         return u, v, col4row, row4col
 
     def row_cond(s):
