@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--no-fold-bn", action="store_true",
                     help="disable the default conv-BN kernel fold at eval "
                          "(bit-exact unfolded numerics)")
+    ap.add_argument("--shard-cameras", action="store_true",
+                    help="camera-axis model parallelism: run the 6 camera "
+                         "streams on separate chips through backbone+FPN "
+                         "(batch-1 latency lever data parallelism doesn't "
+                         "have; output-identical, camera track only)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -92,7 +97,8 @@ def main(argv=None):
                         max_samples=args.max_samples, out_path=args.out,
                         batch_stats=batch_stats,
                         batch_size=args.batch_size,
-                        fold_bn=not args.no_fold_bn)
+                        fold_bn=not args.no_fold_bn,
+                        shard_cameras=args.shard_cameras)
     # only rank 0 writes the submission (train/loop.py evaluate);
     # post-processing of the file is rank-0 work too
     if jax.process_index() != 0:

@@ -44,6 +44,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def camera_mesh(num_cameras: int = 6,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh for camera-axis model parallelism at serving time.
+
+    Data parallelism cannot cut batch-1 latency; the multi-view model
+    can — its 6 camera streams are independent through backbone+FPN
+    (detector.py reshapes [B, N, ...] → [B·N, ...] around the backbone,
+    the reference's Detr3D does the same, detr3d.py:39-66), so sharding
+    the camera axis runs them concurrently on separate chips and XLA
+    all-gathers the (small, bf16) FPN outputs over ICI for the head.
+
+    Uses the largest device count that divides ``num_cameras`` so every
+    shard holds the same number of cameras (6 cams → 6, 3, 2 or 1
+    devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = max(d for d in range(1, min(len(devices), num_cameras) + 1)
+            if num_cameras % d == 0)
+    return Mesh(np.asarray(devices[:n]), ("cam",))
+
+
+def shard_batch_cameras(batch, mesh: Mesh, axis: str = "cam"):
+    """device_put an eval batch with images [B, N, H, W, C] sharded along
+    the camera dim N; every other leaf (lidar2img, radar tokens, gt
+    padding) is tiny and replicated.  jit respects the committed
+    shardings, so the plain jitted eval step partitions the backbone
+    per-camera with no step-function changes."""
+    img = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    return {k: jax.device_put(v, img if k == "images" else rep)
+            for k, v in batch.items()}
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Host batch → sharded global arrays along `axis`.
 

@@ -265,6 +265,7 @@ def evaluate(cfg: TransCARConfig, params,
              batch_stats=None,
              batch_size: int = 1,
              fold_bn: bool = True,
+             shard_cameras: bool = False,
              _eval_step=None,
              _dataset=None) -> str:
     """Inference over the val set → nuScenes submission json
@@ -280,6 +281,15 @@ def evaluate(cfg: TransCARConfig, params,
     inference (fuse_conv_bn at eval-model build; tools/misc/
     fuse_conv_bn.py:10-24 semantics — disable for bit-exact unfolded
     numerics).
+
+    ``shard_cameras`` enables camera-axis model parallelism for
+    low-latency single-process serving: the 6 independent camera streams
+    run on separate chips through backbone+FPN and XLA all-gathers the
+    FPN features for the head (parallel/mesh.py::camera_mesh).  Data
+    parallelism cannot cut batch-1 latency; this can.  Output-identical
+    to the unsharded path (per-camera convs are untouched; the gather is
+    a concatenation).  Best used with ``batch_size=1``; no-op on a
+    single device and unsupported for the LiDAR track.
 
     Multi-host: samples strided across processes, decoded fixed-shape
     outputs allgathered, rank 0 formats and writes (multi_gpu_test +
@@ -300,6 +310,16 @@ def evaluate(cfg: TransCARConfig, params,
     if fold_bn:
         from transcar_tpu.train.fold import fold_bn_into_conv
         params = fold_bn_into_conv(params)
+    cam_mesh = None
+    if shard_cameras and not cfg.model.lidar_encoder and pc == 1:
+        from transcar_tpu.parallel.mesh import camera_mesh, replicated
+        mesh = camera_mesh(cfg.model.head.num_cams)
+        if mesh.devices.size > 1:
+            cam_mesh = mesh
+            params = jax.device_put(params, replicated(cam_mesh))
+            if batch_stats:
+                batch_stats = jax.device_put(batch_stats,
+                                             replicated(cam_mesh))
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     my_indices = np.arange(n)[pi::pc]
@@ -333,6 +353,9 @@ def evaluate(cfg: TransCARConfig, params,
     # the reference's single_gpu_test is fully serial (tools/test.py:214).
     pending = None
     for bidx, batch in enumerate(loader.epoch(0)):
+        if cam_mesh is not None:
+            from transcar_tpu.parallel.mesh import shard_batch_cameras
+            batch = shard_batch_cameras(batch, cam_mesh)
         out = eval_step(params, batch, batch_stats)
         if pending is not None:
             _collect(*pending)
