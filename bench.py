@@ -110,6 +110,23 @@ def main():
     sps = iters * b / dt
     overflow = float(res[1])
 
+    # static FLOPs → MFU (perf observability; same XLA cost analysis as
+    # cli/get_flops.py).  The lowered HLO is identical to the jit call's,
+    # so the persistent compile cache makes this a cache hit, not a
+    # second multi-minute remote compile.
+    flops_per_sample = mfu = None
+    try:
+        cost = infer.lower(params, images, l2i, radar).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_sample = float(cost.get("flops", 0.0)) / b
+        peak = 197e12   # v5e bf16 MXU peak (PERF_NOTES MFU section)
+        if flops_per_sample > 0:
+            mfu = flops_per_sample * sps / peak
+    except Exception as e:   # noqa: BLE001 — observability must not fail
+        print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
+
     from transcar_tpu.utils.profiling import hbm_stats
     hbm = hbm_stats()
     rec = {
@@ -124,6 +141,10 @@ def main():
     }
     if "peak_bytes" in hbm:
         rec["hbm_peak_gb"] = round(hbm["peak_bytes"] / 2**30, 3)
+    if flops_per_sample:
+        rec["tflops_per_sample"] = round(flops_per_sample / 1e12, 3)
+    if mfu:
+        rec["mfu_pct"] = round(mfu * 100.0, 2)
     print(json.dumps(rec))
 
 

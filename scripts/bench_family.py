@@ -46,11 +46,13 @@ def main():
     run("transcar_r101 ", r101, 2)
     run("transcar_vovnet", vov, 1)
     run("transcar_vovnet", vov, 2)
-    for tag, cfg in (("transcar_r101 ", r101), ("transcar_vovnet", vov)):
-        try:                       # bs4 may exceed HBM at full res
-            run(tag, cfg, 4)
-        except Exception as e:     # noqa: BLE001 — record and continue
-            print(f"{tag} bs4: failed ({type(e).__name__})", flush=True)
+    for bs in (4, 8):              # find the throughput knee; may OOM
+        for tag, cfg in (("transcar_r101 ", r101), ("transcar_vovnet", vov)):
+            try:
+                run(tag, cfg, bs)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                print(f"{tag} bs{bs}: failed ({type(e).__name__})",
+                      flush=True)
     # opt-in int8 serving mode (ops/int8.py): measured, never default
     import dataclasses
     bb = dataclasses.replace(vov.model.backbone, quantize="int8")

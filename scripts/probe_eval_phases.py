@@ -92,6 +92,12 @@ def main():
           f"({nbytes / n / 1e6:.1f} MB/sample wire)", flush=True)
 
     # ---- B: + device_put + sync ----
+    # warm the tiny slice+sum sync program first: its FIRST call compiles
+    # through the axon remote-compile service (minutes), which contaminated
+    # the per-sample figure when timed cold (measured 30.4 s/sample vs
+    # ~0.7 s of actual puts)
+    warm = next(iter(new_loader().epoch(0)))
+    float(jnp.sum(jax.device_put(warm["lidar2img"])[..., 0]))
     t0 = time.perf_counter()
     for batch in new_loader().epoch(0):
         dev = {k: jax.device_put(v) for k, v in batch.items()}

@@ -28,8 +28,11 @@ def test_cache_writes_entries_and_disable_knob(tmp_path):
         entries = os.listdir(cache)
         assert entries, "no cache entry written"
     finally:
-        # detach the test process from the tmp dir
+        # detach the test process from the tmp dir (reset the latched
+        # handle too so later tests/compiles don't write into tmp_path)
         jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
 
     assert enable_persistent_cache("off") is None
     # env-var disable wins over the default dir

@@ -320,6 +320,17 @@ def evaluate(cfg: TransCARConfig, params,
             if batch_stats:
                 batch_stats = jax.device_put(batch_stats,
                                              replicated(cam_mesh))
+    if cam_mesh is None:
+        # Commit the param tree to device ONCE.  fold_bn_into_conv (and
+        # checkpoint loading) leave host-numpy leaves, and jit re-uploads
+        # host-numpy arguments on EVERY call — a silent full-param-tree
+        # (~240 MB for R101) host→device transfer per eval step.  Measured:
+        # this was ~4.5 s of the 5.26 s/sample end-to-end eval cost through
+        # the relay (scripts/probe_eval_phases.py; docs/PERF_NOTES.md
+        # serving section).
+        params = jax.device_put(params)
+        if batch_stats:
+            batch_stats = jax.device_put(batch_stats)
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     my_indices = np.arange(n)[pi::pc]

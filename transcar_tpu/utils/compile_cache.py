@@ -39,10 +39,17 @@ def enable_persistent_cache(path: Optional[str] = None,
         return None
     try:
         os.makedirs(path, exist_ok=True)
+        prev = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", str(path))
         # don't bother persisting trivial programs (host transfers etc.)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
+        if prev is not None and prev != str(path):
+            # jax latches the cache handle on first use; a dir set after
+            # that is silently ignored without a reset (on-disk entries
+            # are untouched — only the in-process handle is re-pointed)
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
     except Exception:
         return None
     return str(path)
