@@ -208,6 +208,11 @@ def test_train_and_evaluate_end_to_end(tmp_path):
     # (detr3d_res101_gridmask.py:223, tools/train.py:253-260)
     val_recs = [r for r in recs if r.get("mode") == "val"]
     assert val_recs and val_recs[0]["epoch"] == 1
+    # devkit absent in CI → the native evaluator (eval/metrics.py) must
+    # have produced real mAP/NDS numbers from the infos-pkl GT
+    assert val_recs[0].get("metrics_source") == "native"
+    assert 0.0 <= val_recs[0]["mAP"] <= 1.0
+    assert 0.0 <= val_recs[0]["NDS"] <= 1.0
     assert any(f.startswith("val_epoch") for f in os.listdir(work))
     # checkpoint-on-done + config manifest (runner/ckpt-hook analogs)
     assert os.path.isdir(os.path.join(work, "checkpoints"))

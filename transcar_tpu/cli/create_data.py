@@ -145,6 +145,13 @@ def create_nuscenes_infos(root_path: str, version: str = "v1.0-trainval",
             info["valid_flag"] = np.array(
                 [(a["num_lidar_pts"] + a["num_radar_pts"]) > 0
                  for a in annos], dtype=bool)
+            # GT attribute names ('' when unannotated) — extension over
+            # the reference pkl schema: lets eval/metrics.py compute the
+            # AAE term without the raw dataset (devkit load_gt reads the
+            # same attribute_tokens)
+            info["gt_attrs"] = [
+                nusc.get("attribute", a["attribute_tokens"][0])["name"]
+                if a["attribute_tokens"] else "" for a in annos]
 
         if sample["scene_token"] in train_tokens:
             train_infos.append(info)

@@ -11,6 +11,7 @@ on load).  --eval bbox runs the devkit DetectionEval when available.
 from __future__ import annotations
 
 import argparse
+import os
 
 from transcar_tpu.cli.train import parse_overrides, _try_radar_fn
 
@@ -110,9 +111,20 @@ def main(argv=None):
         render_submission(out_path, args.show_dir)
 
     if args.eval_metric:
-        from transcar_tpu.eval.submission import evaluate_nuscenes
-        metrics = evaluate_nuscenes(out_path, cfg.data.data_root,
-                                    version=cfg.data.version)
+        try:    # devkit DetectionEval when raw data is on disk
+            from transcar_tpu.eval.submission import evaluate_nuscenes
+            metrics = evaluate_nuscenes(out_path, cfg.data.data_root,
+                                        version=cfg.data.version)
+            print("metrics source: nuscenes-devkit")
+        except Exception as e:
+            # native evaluator (eval/metrics.py): same metric pipeline
+            # computed from the infos pkl alone
+            print(f"devkit unavailable ({type(e).__name__}); "
+                  f"using the native evaluator")
+            from transcar_tpu.eval.metrics import evaluate_native
+            metrics = evaluate_native(
+                out_path, ann_file=os.path.join(cfg.data.data_root,
+                                                cfg.data.ann_val))
         for k, v in metrics.items():
             print(f"{k}: {v:.4f}")
 

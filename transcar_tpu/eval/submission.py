@@ -6,8 +6,8 @@ behaviors the reference relies on (SURVEY.md §2.6; tools/test.py:226-242):
   * lidar-frame detections → global frame via the sample's lidar2ego and
     ego2global poses (mmdet3d ``lidar_nusc_box_to_global``),
   * the mmdet3d-0.17-era box convention used by DETR3D checkpoints:
-    dims reordered (l, w, h) → NuScenesBox wlh and yaw mapped
-    ``-yaw - π/2`` (output_to_nusc_box),
+    internal dims are already NuScenesBox (w, l, h) order and pass
+    through unchanged; yaw maps ``-yaw - π/2`` (output_to_nusc_box),
   * class-range filtering from the detection config,
   * attribute assignment by speed (NuScenesDataset._format_bbox),
   * devkit ``DetectionEval`` → mAP/NDS when nuscenes-devkit + raw data are
@@ -91,9 +91,14 @@ def detections_to_nusc_annos(
         name = class_names[int(labels[k])]
         # gravity center for NuScenesBox
         center = np.array([x, y, z + h / 2.0])
-        # mmdet3d-0.17 convention (output_to_nusc_box): wlh = dims[[1,0,2]],
-        # nusc yaw = -yaw - π/2
-        wlh = [l, w, h]
+        # mmdet3d-0.17 convention (output_to_nusc_box): internal dims are
+        # already nuScenes (w, l, h) — the pkl stores ``b.wlh`` unreordered
+        # and the head's circle offsets treat index 4 as length-along-
+        # heading (detr3d_head.py:554-559 via tmp[...,3].exp()) — so dims
+        # pass through unchanged; nusc yaw = -yaw - π/2.  (The
+        # ``dims[[1,0,2]]`` reorder is mmdet3d-1.x, whose *internal*
+        # order is (l, w, h) — applying it here swapped w/l.)
+        wlh = [w, l, h]
         nyaw = -yaw - np.pi / 2.0
         vel = np.array([vx, vy, 0.0])
 

@@ -191,8 +191,18 @@ def train(cfg: TransCARConfig,
                             evaluate_nuscenes(
                                 result_path, cfg.data.data_root,
                                 version=cfg.data.version).items()})
+                rec["metrics_source"] = "devkit"
             except Exception as e:
                 rec["devkit"] = f"unavailable: {type(e).__name__}"
+                # native evaluator: same metric pipeline from the infos
+                # pkl alone (eval/metrics.py), no raw dataset needed
+                val_infos = eval_ctx["dataset"].infos
+                if any("gt_boxes" in i for i in val_infos):
+                    from transcar_tpu.eval.metrics import evaluate_native
+                    rec.update({k: round(float(v), 4) for k, v in
+                                evaluate_native(result_path,
+                                                infos=val_infos).items()})
+                    rec["metrics_source"] = "native"
         logger.log(rec)
 
     # profiler-trace window (rank 0): [trace_start, trace_start+trace_steps)
