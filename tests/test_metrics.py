@@ -282,7 +282,8 @@ def test_evaluate_native_end_to_end(tmp_path):
     assert m["mATE"] == pytest.approx(0.9)
     assert m["mASE"] == pytest.approx(0.9)
     assert set(m) == {"mAP", "NDS", "mATE", "mASE", "mAOE", "mAVE",
-                      "mAAE"}
+                      "mAAE", "coverage"}
+    assert m["coverage"] == pytest.approx(1.0)
 
 
 def test_tp_below_min_recall_is_worst_case():
@@ -294,3 +295,41 @@ def test_tp_below_min_recall_is_worst_case():
     m = evaluate_detections(results, infos, class_names=("car",))
     assert m["tp_errors"]["trans_err"] == 1.0
     assert m["tp_errors"]["scale_err"] == 1.0
+
+
+def test_nan_gt_velocity_excluded_from_ave():
+    # devkit semantics: a GT with NaN velocity (single-frame object, no
+    # neighbor to difference against) contributes NaN to vel_err, which
+    # the NaN-aware cummean SKIPS — it must not count the prediction's
+    # full |v| as error (ADVICE r3 medium)
+    infos = [mk_info("s0", [car_box(5, 0, vx=np.nan, vy=np.nan),
+                            car_box(-8, 3, vx=1.0, vy=0.0)])]
+    # both matched; pred velocities: (3, 4) on the NaN GT (|err| would be
+    # 5 if wrongly zeroed), exact (1, 0) on the valid GT
+    results = {"s0": [car_pred("s0", 5, 0, 0.9, vx=3.0, vy=4.0),
+                      car_pred("s0", -8, 3, 0.8, vx=1.0, vy=0.0)]}
+    m = evaluate_detections(results, infos, class_names=("car",))
+    assert m["tp_errors"]["vel_err"] == pytest.approx(0.0)
+
+
+def test_unknown_pred_class_is_skipped_not_keyerror():
+    infos = [mk_info("s0", [car_box(5, 0)])]
+    results = {"s0": [car_pred("s0", 5, 0, 0.9),
+                      car_pred("s0", 1, 1, 0.8, name="space_elevator")]}
+    m = evaluate_detections(results, infos, class_names=("car",))
+    assert m["label_aps"]["car"][2.0] == pytest.approx(1.0)
+
+
+def test_partial_submission_reports_coverage_and_warns(tmp_path):
+    import json, pickle
+    infos = [mk_info("s0", [car_box(5, 0)]),
+             mk_info("s1", [car_box(-5, 2)])]
+    results = {"s0": [car_pred("s0", 5, 0, 0.9)]}  # s1 missing
+    sub = tmp_path / "sub.json"
+    sub.write_text(json.dumps({"meta": {}, "results": results}))
+    ann = tmp_path / "infos.pkl"
+    ann.write_bytes(pickle.dumps({"infos": infos, "metadata": {}}))
+    from transcar_tpu.eval.metrics import evaluate_native
+    with pytest.warns(UserWarning, match="PARTIAL"):
+        m = evaluate_native(str(sub), ann_file=str(ann))
+    assert m["coverage"] == pytest.approx(0.5)

@@ -111,16 +111,26 @@ def main(argv=None):
         render_submission(out_path, args.show_dir)
 
     if args.eval_metric:
+        metrics = None
         try:    # devkit DetectionEval when raw data is on disk
             from transcar_tpu.eval.submission import evaluate_nuscenes
             metrics = evaluate_nuscenes(out_path, cfg.data.data_root,
                                         version=cfg.data.version)
             print("metrics source: nuscenes-devkit")
+        except (ImportError, FileNotFoundError) as e:
+            # genuinely unavailable (no devkit / no raw data on disk)
+            print(f"devkit unavailable ({type(e).__name__}: {e}); "
+                  f"using the native evaluator")
         except Exception as e:
+            # the devkit IS present but evaluation failed (bad
+            # submission, wrong split/version) — surface the real error
+            # before falling back so it can't be mistaken for a
+            # missing-devkit environment
+            print(f"devkit evaluation FAILED ({type(e).__name__}: {e}); "
+                  f"falling back to the native evaluator")
+        if metrics is None:
             # native evaluator (eval/metrics.py): same metric pipeline
             # computed from the infos pkl alone
-            print(f"devkit unavailable ({type(e).__name__}); "
-                  f"using the native evaluator")
             from transcar_tpu.eval.metrics import evaluate_native
             metrics = evaluate_native(
                 out_path, ann_file=os.path.join(cfg.data.data_root,

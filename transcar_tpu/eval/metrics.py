@@ -133,9 +133,12 @@ def gt_from_infos(infos: Sequence[Dict]) -> Dict[str, List[Dict]]:
                                     np.zeros((0, 7))), np.float64)
         boxes = boxes.reshape(-1, 7)
         names = list(info.get("gt_names", []))
+        # NaN velocities (single-frame objects) stay NaN: they flow into
+        # vel_err and the NaN-aware _cummean excludes those matches from
+        # AVE, matching the devkit.  (The training reader data/infos.py
+        # zeroes them instead, mirroring mmdet3d — different consumers.)
         vel = np.asarray(info.get("gt_velocity",
                                   np.zeros((len(boxes), 2))), np.float64)
-        vel = np.nan_to_num(vel)
         nl = np.asarray(info.get("num_lidar_pts",
                                  -np.ones(len(boxes))), np.int64)
         nr = np.asarray(info.get("num_radar_pts",
@@ -175,6 +178,11 @@ def preds_from_results(results: Dict[str, List[Dict]],
         if token not in ego_t:
             continue
         for d in dets:
+            # skip classes outside the metric definition (a configurable
+            # cfg.data.class_names may emit non-standard names); the
+            # devkit raises on them, we drop like the GT side does
+            if d["detection_name"] not in DETECTION_NAMES:
+                continue
             tr = np.asarray(d["translation"], np.float64)
             preds[token].append({
                 "translation": tr,
@@ -367,10 +375,20 @@ def evaluate_native(result_path: str,
         infos = data["infos"] if isinstance(data, dict) else data
     # partial submissions (--eval-samples / --max-samples) evaluate
     # against the GT of the submitted samples only — the devkit instead
-    # asserts full-split coverage, so this is a strict extension
+    # asserts full-split coverage, so this is a strict extension; a
+    # coverage field + warning keep partial-split numbers visibly
+    # distinguishable from full-split ones (a truncated submission from
+    # an upstream bug must not masquerade as a full eval)
+    n_total = len(infos)
     infos = [i for i in infos if i["token"] in results]
+    if len(infos) < n_total:
+        import warnings
+        warnings.warn(
+            f"submission covers {len(infos)}/{n_total} samples of the "
+            f"split; metrics below are PARTIAL-split numbers")
     m = evaluate_detections(results, infos)
     return {
+        "coverage": len(infos) / max(n_total, 1),
         "mAP": m["mean_ap"], "NDS": m["nd_score"],
         "mATE": m["tp_errors"]["trans_err"],
         "mASE": m["tp_errors"]["scale_err"],

@@ -198,11 +198,19 @@ def train(cfg: TransCARConfig,
                 # pkl alone (eval/metrics.py), no raw dataset needed
                 val_infos = eval_ctx["dataset"].infos
                 if any("gt_boxes" in i for i in val_infos):
-                    from transcar_tpu.eval.metrics import evaluate_native
-                    rec.update({k: round(float(v), 4) for k, v in
-                                evaluate_native(result_path,
-                                                infos=val_infos).items()})
-                    rec["metrics_source"] = "native"
+                    # guard the fallback too — a metric failure must not
+                    # abort a training run at a periodic eval hook
+                    try:
+                        from transcar_tpu.eval.metrics import (
+                            evaluate_native)
+                        rec.update({k: round(float(v), 4) for k, v in
+                                    evaluate_native(
+                                        result_path,
+                                        infos=val_infos).items()})
+                        rec["metrics_source"] = "native"
+                    except Exception as e2:
+                        rec["native"] = (f"failed: {type(e2).__name__}: "
+                                         f"{e2}")
         logger.log(rec)
 
     # profiler-trace window (rank 0): [trace_start, trace_start+trace_steps)
