@@ -191,6 +191,32 @@ def export_2d_annotations(root_path: str, version: str, out_dir: str):
             print(f"skip 2d-anno export: {info_path} missing")
 
 
+def cache_radar_tokens(root_path: str, version: str,
+                       nsweeps: int = 5, num_tokens: int = 1500) -> str:
+    """Precompute the per-sample radar token cache the training loader
+    reads (cli/train.py ``_try_radar_fn`` layout), through the
+    devkit-free ingestion (data/radar_io.py) — the reference instead
+    re-reads + re-featurizes the .pcd files inside every forward
+    (detr3d_head.py:301-536)."""
+    import numpy as np
+    from transcar_tpu.data.radar import load_radar_tokens
+    from transcar_tpu.data.radar_io import NuScenesTables
+
+    nusc = NuScenesTables(root_path, version=version)
+    cache_dir = os.path.join(root_path, "radar_token_cache",
+                             f"{nsweeps}sweep_{num_tokens}")
+    os.makedirs(cache_dir, exist_ok=True)
+    done = 0
+    for token in nusc.tokens("sample"):
+        path = os.path.join(cache_dir, f"{token}.npy")
+        if not os.path.exists(path):
+            np.save(path, load_radar_tokens(nusc, token, nsweeps=nsweeps,
+                                            num_tokens=num_tokens))
+        done += 1
+    print(f"radar token cache: {done} samples → {cache_dir}")
+    return cache_dir
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset", choices=["nuscenes"])
@@ -201,12 +227,21 @@ def main(argv=None):
     ap.add_argument("--with-2d-anno", action="store_true",
                     help="also export coco-style 2D annotations "
                          "(reference create_data.py:70-80)")
+    ap.add_argument("--cache-radar-tokens", action="store_true",
+                    help="precompute the [num_tokens, 36] radar buffer "
+                         "per sample (devkit-free; training/eval then "
+                         "read the cache instead of the .pcd files)")
+    ap.add_argument("--radar-sweeps", type=int, default=5)
+    ap.add_argument("--radar-tokens", type=int, default=1500)
     args = ap.parse_args(argv)
     create_nuscenes_infos(args.root_path, args.version, args.max_sweeps,
                           args.out_dir)
     if args.with_2d_anno:
         export_2d_annotations(args.root_path, args.version,
                               args.out_dir or args.root_path)
+    if args.cache_radar_tokens:
+        cache_radar_tokens(args.root_path, args.version,
+                           args.radar_sweeps, args.radar_tokens)
 
 
 if __name__ == "__main__":

@@ -108,31 +108,46 @@ def main(argv=None):
 
 
 def _try_radar_fn(cfg):
-    """Radar token provider: devkit featurization (native C++ path when
-    built) with an on-disk per-sample cache — tokens are deterministic
-    given the sample, so they are computed once per dataset, not per epoch
-    (vs the reference's per-step file IO, detr3d_head.py:301-536)."""
+    """Radar token provider: devkit-free ingestion (data/radar_io.py
+    tables + .pcd reader; C++ featurizer when built) with an on-disk
+    per-sample cache — tokens are deterministic given the sample, so
+    they are computed once per dataset, not per epoch (vs the
+    reference's per-step devkit file IO, detr3d_head.py:301-536)."""
     try:
         import os
 
         import numpy as np
-        from nuscenes import NuScenes
-        from transcar_tpu.data.radar import load_radar_tokens
+        from transcar_tpu.data.radar import (empty_radar_tokens,
+                                             load_radar_tokens)
+        from transcar_tpu.data.radar_io import NuScenesTables
 
-        nusc = NuScenes(version=cfg.data.version,
-                        dataroot=cfg.data.data_root, verbose=False)
+        nusc = NuScenesTables(cfg.data.data_root,
+                              version=cfg.data.version)
+        # fail fast here (not inside the loader workers) when the raw
+        # tables are absent — triggers the sentinel-buffer fallback
+        nusc.tokens("sample")
         cache_dir = os.path.join(cfg.data.data_root, "radar_token_cache",
                                  f"{cfg.data.radar_sweeps}sweep_"
                                  f"{cfg.model.head.num_radar_tokens}")
         os.makedirs(cache_dir, exist_ok=True)
 
+        warned = set()
+
         def radar_fn(token):
             path = os.path.join(cache_dir, f"{token}.npy")
             if os.path.exists(path):
                 return np.load(path)
-            tokens = load_radar_tokens(
-                nusc, token, nsweeps=cfg.data.radar_sweeps,
-                num_tokens=cfg.model.head.num_radar_tokens)
+            try:
+                tokens = load_radar_tokens(
+                    nusc, token, nsweeps=cfg.data.radar_sweeps,
+                    num_tokens=cfg.model.head.num_radar_tokens)
+            except Exception as e:   # token absent from tables / bad .pcd
+                if type(e).__name__ not in warned:
+                    warned.add(type(e).__name__)
+                    print(f"[train] radar ingestion failed for sample "
+                          f"{token} ({type(e).__name__}: {e}); feeding "
+                          "the sentinel buffer for such samples")
+                return empty_radar_tokens(cfg.model.head.num_radar_tokens)
             np.save(path, tokens)
             return tokens
 

@@ -135,26 +135,32 @@ def empty_radar_tokens(num_tokens: int = 1500,
 def load_radar_tokens(nusc, sample_token: str, nsweeps: int = 5,
                       num_tokens: int = 1500,
                       use_native: bool = True) -> np.ndarray:
-    """Devkit-backed loader matching the reference call pattern
-    (detr3d_head.py:305-315).  Requires nuscenes-devkit + raw data.
+    """Sample token → [num_tokens, 36] buffer, matching the reference
+    call pattern (detr3d_head.py:305-315) through the devkit-free
+    ingestion in ``data/radar_io.py`` (native .pcd reader + multisweep).
+
+    ``nusc``: anything with ``get(table, token)`` + ``dataroot`` — a
+    :class:`transcar_tpu.data.radar_io.NuScenesTables` (no devkit
+    needed) or a devkit ``NuScenes`` object interchangeably.
     Featurization runs through the C++ tokenizer (transcar_tpu/native)
     when built, else the numpy path — parity-tested identical."""
-    from nuscenes.utils.data_classes import RadarPointCloud
-    from pyquaternion import Quaternion
+    from transcar_tpu.data.radar_io import radar_multisweep
+    from transcar_tpu.eval.submission import quat_to_rot
 
     sample = nusc.get("sample", sample_token)
     ref_sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
     ref_cs = nusc.get("calibrated_sensor", ref_sd["calibrated_sensor_token"])
-    ref_rot = Quaternion(ref_cs["rotation"]).rotation_matrix
+    ref_rot = quat_to_rot(np.asarray(ref_cs["rotation"], np.float64))
 
     per_channel, rotations = {}, {}
     for ch in RADAR_CHANNELS:
-        pc, times = RadarPointCloud.from_file_multisweep(
+        points, times = radar_multisweep(
             nusc, sample, chan=ch, ref_chan="LIDAR_TOP", nsweeps=nsweeps)
         sd = nusc.get("sample_data", sample["data"][ch])
         cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
-        per_channel[ch] = (pc.points, times)
-        rotations[ch] = Quaternion(cs["rotation"]).rotation_matrix
+        per_channel[ch] = (points, times)
+        rotations[ch] = quat_to_rot(np.asarray(cs["rotation"],
+                                               np.float64))
 
     if use_native:
         try:
