@@ -231,7 +231,11 @@ def accumulate(gts: Dict[str, List[Dict]], preds: Dict[str, List[Dict]],
             if b["detection_name"] == class_name]
     if npos == 0 or not flat:
         return _no_predictions()
-    flat.sort(key=lambda e: -e[0]["detection_score"])
+    # devkit sort: ascending (score, index) reversed — ties break by
+    # DESCENDING construction index, not stable order
+    flat = [e for _, _, e in sorted(
+        ((e[0]["detection_score"], i, e) for i, e in enumerate(flat)),
+        key=lambda t: (t[0], t[1]), reverse=True)]
 
     period = np.pi if class_name == "barrier" else 2 * np.pi
     taken = set()
@@ -268,6 +272,12 @@ def accumulate(gts: Dict[str, List[Dict]], preds: Dict[str, List[Dict]],
             tp.append(0)
             fp.append(1)
 
+    # zero matches → the devkit's no_predictions() early return (its
+    # confidence curve must be all-zero, not the interp of raw FP
+    # confidences; caught by tests/test_metrics_oracle.py)
+    if not match["conf"]:
+        return _no_predictions()
+
     tp_c = np.cumsum(tp).astype(np.float64)
     fp_c = np.cumsum(fp).astype(np.float64)
     conf_raw = np.array([e[0]["detection_score"] for e in flat])
@@ -277,17 +287,13 @@ def accumulate(gts: Dict[str, List[Dict]], preds: Dict[str, List[Dict]],
     md = {"recall": rec_interp,
           "precision": np.interp(rec_interp, rec, prec, right=0),
           "confidence": np.interp(rec_interp, rec, conf_raw, right=0)}
-    if match["conf"]:
-        # per-match cumulative-mean error, mapped onto the confidence
-        # axis of the interpolated PR curve (devkit match_data interp)
-        mc = np.array(match["conf"])
-        for m in TP_METRICS:
-            tmp = _cummean(np.array(match[m], np.float64))
-            md[m] = np.interp(md["confidence"][::-1], mc[::-1],
-                              tmp[::-1])[::-1]
-    else:
-        for m in TP_METRICS:
-            md[m] = np.ones(NELEM)
+    # per-match cumulative-mean error, mapped onto the confidence
+    # axis of the interpolated PR curve (devkit match_data interp)
+    mc = np.array(match["conf"])
+    for m in TP_METRICS:
+        tmp = _cummean(np.array(match[m], np.float64))
+        md[m] = np.interp(md["confidence"][::-1], mc[::-1],
+                          tmp[::-1])[::-1]
     return md
 
 
