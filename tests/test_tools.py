@@ -68,12 +68,26 @@ def test_analyze_logs_cli(tmp_path, capsys):
             f.write(json.dumps({"mode": "train", "epoch": 1, "iter": i,
                                 "time": 0.5 + i * 0.1, "loss_cls": 1.0,
                                 "loss_bbox": 2.0}) + "\n")
+    with open(log, "a") as f:
+        f.write(json.dumps({"mode": "val", "epoch": 1, "iter": 4,
+                            "mAP": 0.1, "NDS": 0.2}) + "\n")
     main(["cal_train_time", str(log)])
     out = capsys.readouterr().out
     assert "overall mean" in out
+    assert "slowest epoch" in out
     csv = tmp_path / "curve.csv"
     main(["plot_curve", str(log), "--out", str(csv)])
-    assert csv.read_text().startswith("epoch,iter,loss_cls,loss_bbox")
+    assert csv.read_text().startswith("iter,loss_cls,loss_bbox")
+    assert len(csv.read_text().strip().split("\n")) == 5
+    # PNG rendering (reference analyze_logs.py:33-106; matplotlib Agg)
+    png = tmp_path / "curve.png"
+    main(["plot_curve", str(log), "--out", str(png), "--title", "t"])
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    # eval mode: per-epoch val metrics
+    png2 = tmp_path / "val.png"
+    main(["plot_curve", str(log), "--keys", "mAP", "NDS",
+          "--mode", "eval", "--out", str(png2)])
+    assert png2.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 def test_config_overrides_and_presets():
