@@ -21,7 +21,7 @@ def main(argv=None):
     ap.add_argument("preset")
     ap.add_argument("checkpoint")
     ap.add_argument("--format-only", action="store_true")
-    ap.add_argument("--eval", dest="eval_metric")
+    ap.add_argument("--eval", dest="eval_metric", nargs="?", const="bbox")
     ap.add_argument("--out")
     ap.add_argument("--max-samples", type=int)
     ap.add_argument("--show-dir",
@@ -43,6 +43,12 @@ def main(argv=None):
                          "streams on separate chips through backbone+FPN "
                          "(batch-1 latency lever data parallelism doesn't "
                          "have; output-identical, camera track only)")
+    ap.add_argument("--aug-test", nargs="?", const="identity,flip",
+                    help="test-time augmentation: comma list from "
+                         "{identity, flip}; features are averaged over "
+                         "the augmented copies before the head "
+                         "(reference aug_test, detr3d.py:195-219). "
+                         "Bare flag = 'identity,flip'")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -99,7 +105,9 @@ def main(argv=None):
                         batch_stats=batch_stats,
                         batch_size=args.batch_size,
                         fold_bn=not args.no_fold_bn,
-                        shard_cameras=args.shard_cameras)
+                        shard_cameras=args.shard_cameras,
+                        aug_test=(args.aug_test.split(",")
+                                  if args.aug_test else None))
     # only rank 0 writes the submission (train/loop.py evaluate);
     # post-processing of the file is rank-0 work too
     if jax.process_index() != 0:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import numpy as np
@@ -284,6 +284,7 @@ def evaluate(cfg: TransCARConfig, params,
              batch_size: int = 1,
              fold_bn: bool = True,
              shard_cameras: bool = False,
+             aug_test: Optional[Sequence[str]] = None,
              _eval_step=None,
              _dataset=None) -> str:
     """Inference over the val set → nuScenes submission json
@@ -309,6 +310,11 @@ def evaluate(cfg: TransCARConfig, params,
     a concatenation).  Best used with ``batch_size=1``; no-op on a
     single device and unsupported for the LiDAR track.
 
+    ``aug_test`` (e.g. ``("identity", "flip")``) enables test-time
+    augmentation: backbone+FPN features averaged over the augmented
+    copies, head run once (reference ``aug_test``, detr3d.py:195-219;
+    see train/step.py::make_aug_eval_step).
+
     Multi-host: samples strided across processes, decoded fixed-shape
     outputs allgathered, rank 0 formats and writes (multi_gpu_test +
     collect analog, tools/test.py:218-223).
@@ -322,6 +328,12 @@ def evaluate(cfg: TransCARConfig, params,
         data_root=cfg.data.data_root)
     if _eval_step is not None:
         eval_step = _eval_step
+    elif aug_test:
+        if cfg.model.lidar_encoder:
+            raise ValueError("--aug-test is camera-track only")
+        from transcar_tpu.train.step import make_aug_eval_step
+        eval_step = make_aug_eval_step(cfg, build_model(cfg),
+                                       tuple(aug_test))
     else:
         model = build_model(cfg)
         eval_step = make_eval_step(cfg, model)

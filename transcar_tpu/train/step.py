@@ -208,6 +208,43 @@ def make_train_step(cfg: TransCARConfig, model, tx,
     )
 
 
+def make_aug_eval_step(cfg: TransCARConfig, model,
+                       augs: Tuple[str, ...] = ("identity", "flip")):
+    """Jitted test-time-augmentation inference (reference ``aug_test``,
+    detr3d.py:195-219): backbone+FPN features are averaged over the
+    augmented copies and the head runs ONCE on the first view's
+    ``lidar2img`` (the reference uses ``img_metas[0]`` likewise).
+
+    ``augs``: any of ``identity`` / ``flip`` (horizontal image flip).
+    The aug copies are built ON DEVICE from the normal eval batch —
+    one wire transfer, A backbone passes fused into one jit.  Feature
+    averaging follows the reference verbatim, including averaging the
+    flipped view's features UNALIGNED with the original's (it never
+    mirrors them back — kept for parity, like the broken h-flip the
+    pipeline documents)."""
+    known = {"identity", "flip"}
+    bad = set(augs) - known
+    if bad:
+        raise ValueError(f"unknown aug(s) {sorted(bad)}; pick from "
+                         f"{sorted(known)}")
+
+    def aug_step(params, batch, batch_stats=None):
+        batch = normalize_batch_images(batch, cfg.data)
+        imgs = batch["images"]                      # [B, N, H, W, 3]
+        stack = [imgs if a == "identity" else imgs[:, :, :, ::-1, :]
+                 for a in augs]
+        images_augs = jnp.stack(stack)              # [A, B, N, H, W, 3]
+        var = {"params": params}
+        if batch_stats:
+            var["batch_stats"] = batch_stats
+        preds = model.apply(var, images_augs, batch["lidar2img"],
+                            batch.get("radar_tokens"),
+                            method="aug_forward")
+        return nms_free_decode(preds, cfg.model.head)
+
+    return jax.jit(aug_step)
+
+
 def make_eval_step(cfg: TransCARConfig, model, mesh=None):
     """Jitted inference + NMS-free decode.  ``batch_stats`` (running BN
     averages, LiDAR track) rides as an optional extra argument."""
