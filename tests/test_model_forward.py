@@ -199,3 +199,33 @@ def test_vovnet_remat_trains():
     stem = [v for k, v in flat.items() if "stem1" in k]
     assert stem and any(float(np.abs(np.asarray(v)).max()) > 0
                         for v in stem)
+
+
+def test_head_input_bf16_storage_close_to_fp32():
+    """BackboneConfig.head_input_dtype="bfloat16" (HBM-bandwidth lever:
+    the FPN maps are the model's dominant byte streams) only changes the
+    STORAGE of the sampled feature maps — outputs stay within bf16
+    rounding of the fp32-parity path, and decoder math remains fp32."""
+    rng = np.random.default_rng(0)
+    images, l2i, radar = _inputs(rng)
+
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = ModelConfig(backbone=BackboneConfig(
+            kind="resnet50", with_dcn=(False,) * 4,
+            fpn_in_channels=(256, 512, 1024, 2048),
+            compute_dtype=None, head_input_dtype=dt),
+            head=_tiny_head())
+        model = TransCARDetector(cfg)
+        params = model.init(jax.random.PRNGKey(0), images, l2i, radar)
+        outs[dt] = model.apply(params, images, l2i, radar)
+
+    for k in ("all_cls_scores", "all_bbox_preds"):
+        a = np.asarray(outs["float32"][k])
+        b = np.asarray(outs["bfloat16"][k])
+        assert a.dtype == np.float32 and b.dtype == np.float32
+        scale = np.abs(a).max()
+        assert np.max(np.abs(a - b)) < 0.02 * (1 + scale), k
+    # non-vacuous: the bf16 storage actually changed something
+    assert not np.array_equal(np.asarray(outs["float32"]["all_cls_scores"]),
+                              np.asarray(outs["bfloat16"]["all_cls_scores"]))

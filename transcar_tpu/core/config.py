@@ -48,6 +48,14 @@ class BackboneConfig:
     compute_dtype: Optional[str] = "bfloat16"   # backbone compute dtype
                                      # (the @auto_fp16 analog, detr3d.py:68);
                                      # None = inherit input dtype
+    head_input_dtype: str = "float32"   # dtype the FPN feature maps are
+                                     # STORED in for the head's sampling
+                                     # gathers ("float32" = reference
+                                     # parity; "bfloat16" halves the
+                                     # dominant HBM streams — sampled
+                                     # features are cast back to fp32
+                                     # before any decoder math,
+                                     # ops/sampling.py)
     dcn_impl: str = "auto"           # "auto" | "exact" | "pallas": DCNv2
                                      # path.  "auto" → the fused Pallas
                                      # kernel (fwd + custom-VJP bwd,

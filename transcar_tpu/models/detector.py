@@ -98,8 +98,9 @@ class TransCARDetector(nn.Module):
             x = grid_mask(x, self.make_rng("gridmask"))
         feats = self.backbone(x)
         feats = self.neck(feats)
+        head_dt = jnp.dtype(self.cfg.backbone.head_input_dtype)
         mlvl = [
-            f.reshape(b, n, *f.shape[1:]).astype(jnp.float32) for f in feats
+            f.reshape(b, n, *f.shape[1:]).astype(head_dt) for f in feats
         ]
         return self.head(mlvl, lidar2img, (h, w), radar_tokens,
                          deterministic=not train,
@@ -114,11 +115,12 @@ class TransCARDetector(nn.Module):
         images_augs: [A, B, N, H, W, 3] (A augmented views of the batch).
         """
         a, b, n, h, w, _ = images_augs.shape
+        head_dt = jnp.dtype(self.cfg.backbone.head_input_dtype)
         feats_per_aug = None
         for ai in range(a):
             x = images_augs[ai].reshape(b * n, h, w, 3)
             feats = self.neck(self.backbone(x))
-            feats = [f.reshape(b, n, *f.shape[1:]).astype(jnp.float32)
+            feats = [f.reshape(b, n, *f.shape[1:]).astype(head_dt)
                      for f in feats]
             if feats_per_aug is None:
                 feats_per_aug = feats

@@ -22,20 +22,35 @@ _SO = os.path.join(_DIR, "libtranscar_native.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _needs_build() -> bool:
+    """mtime dependency check: rebuild when any source/Makefile is newer
+    than the .so.  An exists-only check once left a stale build missing
+    newer symbols (silently demoting the native JPEG path to PIL); pure
+    mtime tracking keeps that guarantee WITHOUT forking `make` on every
+    cold start — in a compilerless production image a fresh prebuilt .so
+    loads with no subprocess at all."""
+    if not os.path.exists(_SO):
+        return True
+    so_m = os.path.getmtime(_SO)
+    return any(
+        os.path.getmtime(os.path.join(_DIR, f)) > so_m
+        for f in os.listdir(_DIR)
+        if f.endswith((".cpp", ".cc", ".h")) or f == "Makefile")
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    # ALWAYS invoke make: it is dependency-tracked (a ~50 ms no-op when
-    # fresh) and rebuilds a stale .so from before a source was added —
-    # an exists-only check left old builds missing newer symbols, which
-    # silently demoted e.g. the native JPEG path to its PIL fallback.
-    try:
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True)
-    except (OSError, subprocess.CalledProcessError):
-        if not os.path.exists(_SO):
-            raise            # no compiler AND no prebuilt library
+    if _needs_build():
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            if not os.path.exists(_SO):
+                raise            # no compiler AND no prebuilt library
+            # stale prebuilt: load it anyway — missing newer symbols
+            # surface as AttributeError here and callers degrade
     lib = ctypes.CDLL(_SO)
     lib.lapjv_solve.restype = ctypes.c_int
     lib.lapjv_solve.argtypes = [

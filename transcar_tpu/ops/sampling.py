@@ -85,4 +85,8 @@ def sample_multiview_multilevel(mlvl_feats, uv01: jnp.ndarray) -> jnp.ndarray:
         sampled = jax.vmap(bilinear_sample_nhwc)(feat_flat, uv_flat)
         per_level.append(sampled.reshape(b, n, q, c))
     stacked = jnp.stack(per_level, axis=-2)          # [B, N, Q, L, C]
-    return stacked.transpose(0, 2, 1, 3, 4)          # [B, Q, N, L, C]
+    # decoder math always runs fp32: when the feature maps are STORED in
+    # bf16 (BackboneConfig.head_input_dtype — an HBM-bandwidth lever, the
+    # maps are the model's dominant byte streams) only the gather reads
+    # are half-width; the [B,Q,N,L,C] sample is tiny
+    return stacked.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
