@@ -160,6 +160,122 @@ def test_tensor_parallel_sharding_specs():
     ge.dryrun_multichip(4)   # executes one dp2×tp2 step end-to-end
 
 
+def _flat_params(tree):
+    return {tuple(getattr(k, "key", str(k)) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def test_tp_train_step_numerically_matches_replicated():
+    """TP numeric equality, isolated to the thing that can actually go
+    wrong in ``_spec_for``: on the SAME dp2×tp2 mesh with the SAME batch
+    sharding, a train step with Megatron-sharded params must produce the
+    same loss and the same updated params as one with fully REPLICATED
+    params.  The only delta between the two programs is the head-matmul
+    partitioning (fp32, Precision.HIGHEST), so tolerances are tight — a
+    rule that mis-splits a contraction diverges loudly here.  (Comparing
+    against a 1-device run instead would smear bf16-backbone batch-
+    partitioning noise through the Hungarian matching's discrete flips
+    and test nothing about TP — probed, see git history.)  A rule that
+    silently REPLICATES is caught by the post-step sharding asserts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from transcar_tpu.parallel.mesh import batch_sharding, make_mesh
+    from transcar_tpu.parallel.sharding import shard_state_tp
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=16, radar_tokens=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(5)
+    batch = ge._fake_batch(rng, 2, 6, 64, 96, 32, max_gt=4)
+    mesh = make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+
+    def run(tp: bool):
+        state, tx = init_state(cfg, model, batch, total_steps=10,
+                               rng=jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx)
+        if tp:
+            state = shard_state_tp(state, mesh)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        b = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+        state2, losses = step(state, b, jax.random.PRNGKey(1))
+        return state2, {k: float(v) for k, v in losses.items()}
+
+    rep_state, rep_losses = run(tp=False)
+    tp_state, tp_losses = run(tp=True)
+
+    for k in rep_losses:
+        np.testing.assert_allclose(tp_losses[k], rep_losses[k],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"loss[{k}]")
+    rep_flat = _flat_params(rep_state.params)
+    tp_flat = _flat_params(tp_state.params)
+    assert rep_flat.keys() == tp_flat.keys()
+    worst = max(rep_flat, key=lambda k: float(
+        np.max(np.abs(rep_flat[k] - tp_flat[k]))))
+    wdiff = float(np.max(np.abs(rep_flat[worst] - tp_flat[worst])))
+    assert wdiff < 1e-4, (worst, wdiff)
+
+    # Megatron leaves must still LIVE sharded over 'model' after the
+    # step — a _spec_for rule that silently replicates fails this.
+    # (XLA omits trailing None dims from reported specs: P('model',)
+    # ≡ P('model', None) — normalize before comparing.)
+    def norm(leaf):
+        spec = tuple(leaf.sharding.spec)
+        return spec + (None,) * (leaf.ndim - len(spec))
+
+    head = tp_state.params["head"]
+    assert norm(head["fusion0_linear1"]["kernel"]) == (None, "model")
+    assert norm(head["fusion0_linear2"]["kernel"]) == ("model", None)
+    assert norm(head["fusion0_attn"]["wq"]) == (None, "model")
+    assert norm(head["fusion0_attn"]["wo"]) == ("model", None)
+    # and the replicated run must NOT have model-sharded leaves (the
+    # comparison would be vacuous if both ran the same partitioning)
+    assert norm(rep_state.params["head"]["fusion0_linear1"]["kernel"]) \
+        == (None, None)
+
+
+def test_tp_eval_outputs_match_replicated_same_mesh():
+    """TP-sharded params through the PLAIN jitted forward (committed
+    input shardings, no step changes): pre-decode outputs match the
+    replicated-params run on the same mesh.  Decode is compared via
+    sorted scores only — near-tie ordering under different partitioning
+    is legitimate fp behavior, not a sharding bug."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from transcar_tpu.parallel.mesh import batch_sharding, make_mesh
+    from transcar_tpu.parallel.sharding import tp_sharding_tree
+    from transcar_tpu.train.step import apply_model, make_eval_step
+
+    cfg = ge._tiny_cfg(num_decoder_layers=1, num_query=24, radar_tokens=32)
+    model = build_model(cfg)
+    rng = np.random.default_rng(6)
+    batch = ge._fake_batch(rng, 2, 6, 64, 96, 32, max_gt=4)
+    state, _ = init_state(cfg, model, batch, total_steps=10,
+                          rng=jax.random.PRNGKey(0))
+    mesh = make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+
+    fwd = jax.jit(lambda p, b: apply_model(model, p, b, train=False))
+    batch_m = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    params_rep = jax.device_put(state.params, NamedSharding(mesh, P()))
+    params_tp = jax.tree_util.tree_map(
+        jax.device_put, state.params,
+        tp_sharding_tree(state.params, mesh))
+
+    ref = fwd(params_rep, batch_m)
+    out = fwd(params_tp, batch_m)
+    for k in ("all_cls_scores", "all_bbox_preds"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    eval_step = make_eval_step(cfg, model)
+    d_ref = eval_step(params_rep, batch_m)
+    d_tp = eval_step(params_tp, batch_m)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_tp["scores"]), axis=-1),
+        np.sort(np.asarray(d_ref["scores"]), axis=-1),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_eval_step_on_mesh_matches_single_device():
     """make_eval_step over a dp4 mesh: compiles, executes, and produces
     the same decode as the unsharded path (multi_gpu_test analog,
