@@ -196,3 +196,31 @@ def test_objdgcnn_voxel_train_step_updates_sparse_encoder():
     before = jax.tree_util.tree_leaves(params["middle_encoder"])[0]
     after = jax.tree_util.tree_leaves(p2["middle_encoder"])[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_msdeform_query_chunking_is_exact():
+    """query_chunk (the encoder's HBM-OOM guard, ops/msdeform.py) is an
+    exact reformulation: chunked == unchunked, including a non-dividing
+    chunk size (zero-padded tail)."""
+    from transcar_tpu.ops.msdeform import ms_deform_attn_core
+
+    rng = np.random.default_rng(3)
+    shapes = [(8, 12), (4, 6)]
+    s = sum(h * w for h, w in shapes)
+    b, h, d, l, p, q = 2, 4, 8, len(shapes), 3, 50
+    value = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1,
+                                  (b, q, h, l, p, 2)).astype(np.float32))
+    wgt = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(b, q, h, l, p)).astype(np.float32))
+        .reshape(b, q, h, l * p), axis=-1).reshape(b, q, h, l, p)
+
+    ref = ms_deform_attn_core(value, shapes, loc, wgt)
+    for chunk in (16, 50, 7):    # dividing, exact, and padded-tail cases
+        out = ms_deform_attn_core(value, shapes, loc, wgt,
+                                  query_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(chunk))
+    # chunk >= q is a no-op path
+    out = ms_deform_attn_core(value, shapes, loc, wgt, query_chunk=64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

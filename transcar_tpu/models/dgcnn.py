@@ -64,6 +64,10 @@ class MSDeformAttention(nn.Module):
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.1
+    # exact query chunking for token-count-sized Q (the BEV encoder's
+    # self-attention) — bounds the materialized gather intermediates;
+    # see ops/msdeform.py::ms_deform_attn_core
+    query_chunk: int = 0
 
     @nn.compact
     def __call__(self, query, query_pos, value,
@@ -102,7 +106,8 @@ class MSDeformAttention(nn.Module):
                                  jnp.float32)                    # [L, 2]
         loc = (reference_points[:, :, None, :, None, :]
                + offsets / normalizer[None, None, None, :, None, :])
-        out = ms_deform_attn_core(val, spatial_shapes, loc, weights)
+        out = ms_deform_attn_core(val, spatial_shapes, loc, weights,
+                                  query_chunk=self.query_chunk)
         out = Dense(self.embed_dims, name="output_proj")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return identity + out
@@ -191,6 +196,10 @@ class DGCNN3DHead(nn.Module):
     bev_hw: Tuple[int, int] = (512, 512)
     num_encoder_layers: int = 2
     num_points: int = 4
+    # chunk the encoder's token-count-sized deformable self-attention
+    # (Q = Σ H_l·W_l ≈ 87k at 512² BEV): bounds gather intermediates to
+    # ~chunk-size (HBM-OOM at bs2 unchunked on v5e); 0 disables
+    encoder_query_chunk: int = 16384
 
     @nn.compact
     def __call__(self, mlvl_feats, deterministic: bool = True):
@@ -229,6 +238,7 @@ class DGCNN3DHead(nn.Module):
         x = value
         for i in range(self.num_encoder_layers):
             x = MSDeformAttention(e, c.num_heads, l, self.num_points,
+                                  query_chunk=self.encoder_query_chunk,
                                   name=f"encoder{i}_attn")(
                 x, pos_embed, x, shapes, enc_ref,
                 deterministic=deterministic)

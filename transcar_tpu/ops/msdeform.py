@@ -20,17 +20,41 @@ from transcar_tpu.ops.sampling import bilinear_sample_nhwc
 def ms_deform_attn_core(value: jnp.ndarray,
                         spatial_shapes: Sequence[Tuple[int, int]],
                         sampling_locations: jnp.ndarray,
-                        attention_weights: jnp.ndarray) -> jnp.ndarray:
+                        attention_weights: jnp.ndarray,
+                        query_chunk: int = 0) -> jnp.ndarray:
     """Args:
       value: [B, S, H, D] flattened multi-level values (S = Σ H_l·W_l).
       spatial_shapes: static list of (H_l, W_l).
       sampling_locations: [B, Q, H, L, P, 2] in [0, 1] per level (x, y).
       attention_weights: [B, Q, H, L, P] (already softmaxed over L·P).
+      query_chunk: when > 0 and Q > query_chunk, process queries in
+        ``lax.map`` chunks of this size (zero-padded to a multiple) —
+        EXACT, trades one materialized [B·H, Q·P, D] gather (4+ GB for
+        the encoder's Q = Σ H_l·W_l self-attention at full BEV
+        resolution — an HBM-OOM at batch 2 on v5e) for sequential
+        ~chunk-sized gathers.  0 = single pass (decoder-sized Q).
     Returns:
       [B, Q, H·D].
     """
     b, s, h, d = value.shape
     _, q, _, l, p, _ = sampling_locations.shape
+
+    if query_chunk and q > query_chunk:
+        pad = (-q) % query_chunk
+        loc_p = jnp.pad(sampling_locations,
+                        ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+        wgt_p = jnp.pad(attention_weights,
+                        ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        nc = (q + pad) // query_chunk
+        loc_c = loc_p.reshape(b, nc, query_chunk, h, l, p, 2)
+        wgt_c = wgt_p.reshape(b, nc, query_chunk, h, l, p)
+        out = jax.lax.map(
+            lambda args: ms_deform_attn_core(value, spatial_shapes,
+                                             args[0], args[1]),
+            (loc_c.transpose(1, 0, 2, 3, 4, 5, 6),
+             wgt_c.transpose(1, 0, 2, 3, 4, 5)))   # [nc, B, qc, H·D]
+        out = out.transpose(1, 0, 2, 3).reshape(b, q + pad, h * d)
+        return out[:, :q]
 
     starts = []
     acc = 0
