@@ -388,21 +388,29 @@ def evaluate(cfg: TransCARConfig, params,
             local["valid"].append(out["valid"][row])
             local["sample_idx"].append(np.int32(my_indices[pos]))
 
-    # One-deep software pipeline: jax dispatch is async, so issuing batch
-    # i+1's transfer+compute BEFORE pulling batch i's (small) outputs
-    # overlaps device compute with the host-side fetch/convert/append —
-    # the reference's single_gpu_test is fully serial (tools/test.py:214).
-    pending = None
+    # Two-deep software pipeline with double-buffered input upload: jax
+    # dispatch and host→device transfers are async, so (a) the explicit
+    # device_put starts batch i+1's (uint8, ~27 MB/sample) wire transfer
+    # while batch i computes instead of serializing it into the next
+    # dispatch, and (b) holding TWO dispatched batches before pulling
+    # outputs keeps the device busy through the host-side
+    # fetch/convert/append of the oldest — steady-state e2e cost is
+    # max(wire, step) + decode, not their sum.  The reference's
+    # single_gpu_test is fully serial (tools/test.py:214).
+    from collections import deque
+    pending = deque()
     for bidx, batch in enumerate(loader.epoch(0)):
         if cam_mesh is not None:
             from transcar_tpu.parallel.mesh import shard_batch_cameras
             batch = shard_batch_cameras(batch, cam_mesh)
+        else:
+            batch = jax.device_put(batch)
         out = eval_step(params, batch, batch_stats)
-        if pending is not None:
-            _collect(*pending)
-        pending = (bidx, out)
-    if pending is not None:
-        _collect(*pending)
+        pending.append((bidx, out))
+        if len(pending) > 2:
+            _collect(*pending.popleft())
+    while pending:
+        _collect(*pending.popleft())
     n_local = len(local["sample_idx"])
     stacked = {k: np.stack(v) if n_local else np.zeros(
         (0,) + _eval_leaf_shape(k, cfg), _eval_leaf_dtype(k))
