@@ -122,8 +122,16 @@ def run_preset(name, tiny=False):
 
 
 def main():
+    import os
     import sys
     tiny = "--tiny" in sys.argv
+    if not tiny:
+        # ride out axon worker crash/restart windows (probe in a
+        # subprocess — failed in-process init is cached by jax)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench as _bench
+        _bench._wait_for_backend(max_tries=4, sleep_s=90.0)
     enable_persistent_cache()
     print("devices:", jax.devices(), flush=True)
     for name in ("objdgcnn_pillar", "objdgcnn_voxel"):

@@ -115,6 +115,13 @@ def run(name):
 
 
 def main():
+    # the axon worker can be mid-restart after a crash — probe in a
+    # subprocess first (a failed in-process init is cached by jax)
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench as _bench
+    _bench._wait_for_backend(max_tries=4, sleep_s=90.0)
     enable_persistent_cache()
     print("devices:", jax.devices(), flush=True)
     for name in ("objdgcnn_pillar", "objdgcnn_voxel"):

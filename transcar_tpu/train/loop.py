@@ -403,8 +403,12 @@ def evaluate(cfg: TransCARConfig, params,
         if cam_mesh is not None:
             from transcar_tpu.parallel.mesh import shard_batch_cameras
             batch = shard_batch_cameras(batch, cam_mesh)
-        else:
-            batch = jax.device_put(batch)
+        elif "images" in batch:
+            # double-buffer ONLY the wire-dominant leaf: per-leaf puts
+            # cost a round trip each through the relay (~30 ms/leaf,
+            # probe_eval_phases), so the small leaves ride the dispatch
+            batch = dict(batch)
+            batch["images"] = jax.device_put(batch["images"])
         out = eval_step(params, batch, batch_stats)
         pending.append((bidx, out))
         if len(pending) > 2:
