@@ -40,21 +40,19 @@ def ms_deform_attn_core(value: jnp.ndarray,
     _, q, _, l, p, _ = sampling_locations.shape
 
     if query_chunk and q > query_chunk:
-        pad = (-q) % query_chunk
-        loc_p = jnp.pad(sampling_locations,
-                        ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
-        wgt_p = jnp.pad(attention_weights,
-                        ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-        nc = (q + pad) // query_chunk
-        loc_c = loc_p.reshape(b, nc, query_chunk, h, l, p, 2)
-        wgt_c = wgt_p.reshape(b, nc, query_chunk, h, l, p)
-        out = jax.lax.map(
-            lambda args: ms_deform_attn_core(value, spatial_shapes,
-                                             args[0], args[1]),
-            (loc_c.transpose(1, 0, 2, 3, 4, 5, 6),
-             wgt_c.transpose(1, 0, 2, 3, 4, 5)))   # [nc, B, qc, H·D]
-        out = out.transpose(1, 0, 2, 3).reshape(b, q + pad, h * d)
-        return out[:, :q]
+        # UNROLLED chunk loop, deliberately not lax.map/scan: the
+        # scan-form chunking reproducibly crashed the v5e TPU worker
+        # ("kernel fault") when embedded in the full ObjDGCNN program
+        # (2/2 runs; the op in isolation ran fine) — a plain Python loop
+        # compiles to the same sequential schedule without the scan
+        # machinery.  nc is ~6 at 512² BEV, far from the unroll limits.
+        outs = []
+        for s0 in range(0, q, query_chunk):
+            s1 = min(s0 + query_chunk, q)
+            outs.append(ms_deform_attn_core(
+                value, spatial_shapes,
+                sampling_locations[:, s0:s1], attention_weights[:, s0:s1]))
+        return jnp.concatenate(outs, axis=1)
 
     starts = []
     acc = 0
