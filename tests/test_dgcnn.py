@@ -224,3 +224,30 @@ def test_msdeform_query_chunking_is_exact():
     # chunk >= q is a no-op path
     out = ms_deform_attn_core(value, shapes, loc, wgt, query_chunk=64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_lidar_bf16_backbone_close_to_fp32():
+    """lidar_compute_dtype="bfloat16" (SECOND+FPN convs in bf16, BN
+    stats fp32 — the camera track's compute policy) stays within bf16
+    rounding of the fp32 path and returns fp32 head outputs."""
+    from transcar_tpu.core.config import HeadConfig
+
+    rng = np.random.default_rng(11)
+    cfg = HeadConfig(num_query=8, num_decoder_layers=1,
+                     with_radar_fusion=False, num_levels=4, pc_range=PC)
+    pts = rng.uniform(-7, 7, (1, 300, 5)).astype(np.float32)
+    n = jnp.asarray([250], jnp.int32)
+    outs = {}
+    for dt in (None, "bfloat16"):
+        model = ObjDGCNN(cfg, voxel_size=(1.0, 1.0, 8.0), max_points=8,
+                         max_voxels=256, bev_hw=(16, 16), compute_dtype=dt)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), n)
+        outs[dt] = model.apply(variables, jnp.asarray(pts), n)
+    for k in ("all_cls_scores", "all_bbox_preds"):
+        a = np.asarray(outs[None][k])
+        b = np.asarray(outs["bfloat16"][k])
+        assert b.dtype == np.float32
+        scale = np.abs(a).max()
+        assert np.max(np.abs(a - b)) < 0.03 * (1 + scale), k
+    assert not np.array_equal(np.asarray(outs[None]["all_cls_scores"]),
+                              np.asarray(outs["bfloat16"]["all_cls_scores"]))

@@ -180,6 +180,12 @@ class ModelConfig:
     use_grid_mask: bool = True       # detr3d.py:36 (prob .7, ratio .5, mode 1)
     # --- LiDAR track (ObjDGCNN): set lidar_encoder to select the model ---
     lidar_encoder: Optional[str] = None     # None | "pillar" | "voxel"
+    lidar_compute_dtype: Optional[str] = "bfloat16"   # SECOND+FPN BEV
+                                     # conv compute dtype (the camera
+                                     # track's bf16 policy applied to the
+                                     # LiDAR backbone; BN params/stats
+                                     # stay fp32, the head runs fp32).
+                                     # None = fp32 everywhere
     voxel_size: Tuple[float, float, float] = (0.2, 0.2, 8.0)
     max_voxels: int = 30000                  # pillar.py:32 (train)
     max_points_per_voxel: int = 20

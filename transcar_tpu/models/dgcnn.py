@@ -20,7 +20,7 @@ BN layers are trainable (batch_stats collection; see models/second.py).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -313,6 +313,9 @@ class ObjDGCNN(nn.Module):
     max_voxels: int = 30000
     bev_hw: Tuple[int, int] = (512, 512)
     sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)
+    # SECOND+FPN BEV conv compute dtype (camera-track bf16 policy:
+    # params/BN stats fp32, convs bf16, head fp32); None = fp32
+    compute_dtype: Optional[str] = "bfloat16"
 
     @nn.compact
     def __call__(self, points, num_points, deterministic: bool = True):
@@ -325,6 +328,8 @@ class ObjDGCNN(nn.Module):
         )(points, num_points)
         pv, m, f = voxels.shape[1:]
 
+        bev_dt = (jnp.dtype(self.compute_dtype) if self.compute_dtype
+                  else jnp.float32)
         if self.encoder == "pillar":
             feats = PillarFeatureNet(64, self.voxel_size[:2], c.pc_range,
                                      name="vfe")(
@@ -334,7 +339,7 @@ class ObjDGCNN(nn.Module):
             canvas = jax.vmap(
                 lambda ft, co, n: pillar_scatter(ft, co, n, self.bev_hw)
             )(feats, coords, nv)                            # [B, H, W, 64]
-            feats = SECOND(name="backbone")(canvas,
+            feats = SECOND(name="backbone")(canvas.astype(bev_dt),
                                             train=not deterministic)
         elif self.encoder == "voxel":
             from transcar_tpu.models.sparse_encoder import SparseEncoder
@@ -348,12 +353,14 @@ class ObjDGCNN(nn.Module):
                 train=not deterministic)                    # [B, H', W', 256]
             feats = SECOND(layer_nums=(5, 5), layer_strides=(1, 2),
                            out_channels=(128, 256), name="backbone")(
-                canvas, train=not deterministic)
+                canvas.astype(bev_dt), train=not deterministic)
         else:
             raise ValueError(f"unknown encoder {self.encoder!r}")
 
         feats = BNFPN(in_channels=tuple(f.shape[-1] for f in feats),
                       num_outs=c.num_levels, name="neck")(
             feats, train=not deterministic)
+        # head math runs fp32 (same boundary as the camera track)
+        feats = [f.astype(jnp.float32) for f in feats]
         return DGCNN3DHead(c, self.bev_hw, name="head")(
             feats, deterministic=deterministic)
