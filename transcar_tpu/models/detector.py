@@ -198,11 +198,18 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     if m.lidar_encoder:
         from transcar_tpu.models.dgcnn import ObjDGCNN
 
+        # banded Pallas encoder attention on TPU inference (training and
+        # CPU meshes keep the autodiff-able XLA gather — same routing
+        # policy as the camera DCN kernel below)
+        msd = ("pallas" if (not training
+                            and jax.default_backend() == "tpu")
+               else "xla")
         return ObjDGCNN(
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape,
-            compute_dtype=m.lidar_compute_dtype)
+            compute_dtype=m.lidar_compute_dtype,
+            encoder_msdeform_impl=msd)
     # rows_per_step (grid coarsening): the forward's per-row pipeline
     # and the Pallas backward center the band with the same per-row
     # formula, so the knob is exactness-neutral for training and

@@ -68,6 +68,11 @@ class MSDeformAttention(nn.Module):
     # self-attention) — bounds the materialized gather intermediates;
     # see ops/msdeform.py::ms_deform_attn_core
     query_chunk: int = 0
+    # "xla" | "pallas": the banded one-hot-matmul encoder kernel
+    # (ops/pallas_msdeform.py, TPU inference; exact for |Δy| ≤ band/2−2
+    # value-level cells, the DCN-kernel contract)
+    impl: str = "xla"
+    band: int = 16
 
     @nn.compact
     def __call__(self, query, query_pos, value,
@@ -106,8 +111,14 @@ class MSDeformAttention(nn.Module):
                                  jnp.float32)                    # [L, 2]
         loc = (reference_points[:, :, None, :, None, :]
                + offsets / normalizer[None, None, None, :, None, :])
-        out = ms_deform_attn_core(val, spatial_shapes, loc, weights,
-                                  query_chunk=self.query_chunk)
+        if self.impl == "pallas":
+            from transcar_tpu.ops.pallas_msdeform import (
+                pallas_msdeform_encoder)
+            out = pallas_msdeform_encoder(val, spatial_shapes, loc,
+                                          weights, band=self.band)
+        else:
+            out = ms_deform_attn_core(val, spatial_shapes, loc, weights,
+                                      query_chunk=self.query_chunk)
         out = Dense(self.embed_dims, name="output_proj")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return identity + out
@@ -200,6 +211,9 @@ class DGCNN3DHead(nn.Module):
     # (Q = Σ H_l·W_l ≈ 87k at 512² BEV): bounds gather intermediates to
     # ~chunk-size (HBM-OOM at bs2 unchunked on v5e); 0 disables
     encoder_query_chunk: int = 16384
+    # "xla" | "pallas" — banded one-hot-matmul encoder attention
+    # (ops/pallas_msdeform.py); resolved by build_model, TPU inference
+    encoder_msdeform_impl: str = "xla"
 
     @nn.compact
     def __call__(self, mlvl_feats, deterministic: bool = True):
@@ -239,6 +253,7 @@ class DGCNN3DHead(nn.Module):
         for i in range(self.num_encoder_layers):
             x = MSDeformAttention(e, c.num_heads, l, self.num_points,
                                   query_chunk=self.encoder_query_chunk,
+                                  impl=self.encoder_msdeform_impl,
                                   name=f"encoder{i}_attn")(
                 x, pos_embed, x, shapes, enc_ref,
                 deterministic=deterministic)
@@ -316,6 +331,9 @@ class ObjDGCNN(nn.Module):
     # SECOND+FPN BEV conv compute dtype (camera-track bf16 policy:
     # params/BN stats fp32, convs bf16, head fp32); None = fp32
     compute_dtype: Optional[str] = "bfloat16"
+    # encoder deformable-attention impl (resolved by build_model:
+    # "pallas" on TPU inference, "xla" for training/CPU)
+    encoder_msdeform_impl: str = "xla"
 
     @nn.compact
     def __call__(self, points, num_points, deterministic: bool = True):
@@ -362,5 +380,7 @@ class ObjDGCNN(nn.Module):
             feats, train=not deterministic)
         # head math runs fp32 (same boundary as the camera track)
         feats = [f.astype(jnp.float32) for f in feats]
-        return DGCNN3DHead(c, self.bev_hw, name="head")(
+        return DGCNN3DHead(c, self.bev_hw,
+                           encoder_msdeform_impl=self.encoder_msdeform_impl,
+                           name="head")(
             feats, deterministic=deterministic)
