@@ -95,8 +95,9 @@ def run_preset(name, tiny=False):
             print(f"{name} voxelize bs1: {dtv * 1e3:.1f} ms "
                   f"({100 * dtv / dt:.0f}% of forward)", flush=True)
 
-    # train step bs1
+    # train step bs1 (training build: autodiff-able XLA encoder path)
     from transcar_tpu.train.step import init_state, make_train_step
+    model = build_model(cfg, training=True)
     b = 1
     pts, n = make_points(rng, b, n_max, int(n_max * 0.9), pc)
     gt = np.ones((b, cfg.data.max_gt_boxes, 9), np.float32)
