@@ -41,7 +41,7 @@ def bench(fn, sync, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def run_preset(name, tiny=False):
+def run_preset(name, tiny=False, parts=("infer", "train")):
     overrides = {}
     if tiny:   # CPU smoke of the script logic, not a perf number
         overrides = {"data.max_points": 4000, "model.max_voxels": 2000,
@@ -58,7 +58,7 @@ def run_preset(name, tiny=False):
     rng = np.random.default_rng(0)
     n_max = cfg.data.max_points
 
-    for b in (1, 2):
+    for b in (1, 2) if "infer" in parts else ():
         pts, n = make_points(rng, b, n_max, int(n_max * 0.9), pc)
         ptsj, nj = jnp.asarray(pts), jnp.asarray(n)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), ptsj, nj)
@@ -96,6 +96,8 @@ def run_preset(name, tiny=False):
                   f"({100 * dtv / dt:.0f}% of forward)", flush=True)
 
     # train step bs1 (training build: autodiff-able XLA encoder path)
+    if "train" not in parts:
+        return
     from transcar_tpu.train.step import init_state, make_train_step
     model = build_model(cfg, training=True)
     b = 1
@@ -123,9 +125,19 @@ def run_preset(name, tiny=False):
 
 
 def main():
+    import argparse
     import os
     import sys
-    tiny = "--tiny" in sys.argv
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--preset", choices=["pillar", "voxel"], default=None,
+                    help="run only this preset (default: both)")
+    ap.add_argument("--parts", default="infer,train",
+                    help="comma list of infer,train (voxel train faults "
+                         "the v5e worker — run it last, isolated)")
+    args = ap.parse_args()
+    tiny = args.tiny
+    parts = tuple(p for p in args.parts.split(",") if p)
     if not tiny:
         # ride out axon worker crash/restart windows (probe in a
         # subprocess — failed in-process init is cached by jax)
@@ -135,9 +147,11 @@ def main():
         _bench._wait_for_backend(max_tries=4, sleep_s=90.0)
     enable_persistent_cache()
     print("devices:", jax.devices(), flush=True)
-    for name in ("objdgcnn_pillar", "objdgcnn_voxel"):
+    names = {"pillar": ("objdgcnn_pillar",), "voxel": ("objdgcnn_voxel",),
+             None: ("objdgcnn_pillar", "objdgcnn_voxel")}[args.preset]
+    for name in names:
         try:
-            run_preset(name, tiny=tiny)
+            run_preset(name, tiny=tiny, parts=parts)
         except Exception as e:  # noqa: BLE001 — record and continue
             import traceback
             print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)

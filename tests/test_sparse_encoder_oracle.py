@@ -55,7 +55,8 @@ def _masked_bn(x, mask, scale, bias, eps=1e-3):
     return (x - mean) / np.sqrt(var + eps) * scale + bias
 
 
-def test_sparse_encoder_matches_dense_torch_oracle():
+@pytest.mark.parametrize("impl", ["gather", "dense"])
+def test_sparse_encoder_matches_dense_torch_oracle(impl):
     rng = np.random.default_rng(7)
     b = 2
     counts = [24, 17]
@@ -73,7 +74,7 @@ def test_sparse_encoder_matches_dense_torch_oracle():
         dense0[bi, co[:, 0], co[:, 1], co[:, 2]] = f
         active0[bi, co[:, 0], co[:, 1], co[:, 2]] = True
 
-    enc = SparseEncoder(sparse_shape=GRID)
+    enc = SparseEncoder(sparse_shape=GRID, impl=impl)
     variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(feats),
                          jnp.asarray(coords), jnp.asarray(counts),
                          train=True)
@@ -116,3 +117,55 @@ def test_sparse_encoder_matches_dense_torch_oracle():
 
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
     assert np.abs(want).max() > 0.1        # non-vacuous
+
+
+def test_dense_impl_matches_gather_impl_same_params():
+    """The two formulations are the SAME math (gathered zero-rows ≡
+    dense zeros; identical site sets when the gather path's out_max cap
+    doesn't bind) and share one param tree — checkpoints must be
+    interchangeable across ``impl``."""
+    rng = np.random.default_rng(11)
+    b, n0, n1 = 2, 31, 22
+    feats = np.zeros((b, V_MAX, CIN), np.float32)
+    coords = np.zeros((b, V_MAX, 3), np.int32)
+    for bi, n in enumerate((n0, n1)):
+        lin = rng.choice(GRID[0] * GRID[1] * GRID[2], size=n, replace=False)
+        coords[bi, :n] = np.stack([lin // (GRID[1] * GRID[2]),
+                                   (lin // GRID[2]) % GRID[1],
+                                   lin % GRID[2]], axis=1)
+        feats[bi, :n] = rng.normal(size=(n, CIN))
+    counts = jnp.asarray([n0, n1], jnp.int32)
+    fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+
+    enc_g = SparseEncoder(sparse_shape=GRID, impl="gather")
+    enc_d = SparseEncoder(sparse_shape=GRID, impl="dense")
+    var = enc_g.init(jax.random.PRNGKey(3), fj, cj, counts, train=True)
+
+    # identical param/batch_stats trees (checkpoint interchangeability)
+    var_d = enc_d.init(jax.random.PRNGKey(3), fj, cj, counts, train=True)
+    tg = jax.tree_util.tree_structure(var)
+    td = jax.tree_util.tree_structure(var_d)
+    assert tg == td
+
+    # train mode: outputs AND updated batch statistics agree
+    out_g, st_g = enc_g.apply(var, fj, cj, counts, train=True,
+                              mutable=["batch_stats"])
+    out_d, st_d = enc_d.apply(var, fj, cj, counts, train=True,
+                              mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5),
+        st_g["batch_stats"], st_d["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(out_g).max()) > 0.1         # non-vacuous
+
+    # eval mode with the trained running stats (fresh init stats shrink
+    # outputs to ~1e-5 across 12 BN layers — a vacuous comparison)
+    var_t = {"params": var["params"],
+             "batch_stats": st_g["batch_stats"]}
+    out_g = enc_g.apply(var_t, fj, cj, counts, train=False)
+    out_d = enc_d.apply(var_t, fj, cj, counts, train=False)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(out_g).max()) > 0.01        # non-vacuous

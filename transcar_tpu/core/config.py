@@ -191,6 +191,9 @@ class ModelConfig:
     max_points_per_voxel: int = 20
     bev_hw: Tuple[int, int] = (512, 512)
     sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)  # voxel.py:34-43
+    # voxel middle-encoder formulation: "dense" (masked MXU convs,
+    # exact spconv site sets) | "gather" (sort+searchsorted buffers)
+    sparse_impl: str = "dense"
 
 
 @dataclass(frozen=True)

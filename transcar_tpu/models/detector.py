@@ -209,7 +209,7 @@ def build_model(cfg: TransCARConfig, training: bool = False):
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape,
             compute_dtype=m.lidar_compute_dtype,
-            encoder_msdeform_impl=msd)
+            encoder_msdeform_impl=msd, sparse_impl=m.sparse_impl)
     # rows_per_step (grid coarsening): the forward's per-row pipeline
     # and the Pallas backward center the band with the same per-row
     # formula, so the knob is exactness-neutral for training and

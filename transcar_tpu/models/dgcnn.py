@@ -334,6 +334,10 @@ class ObjDGCNN(nn.Module):
     # encoder deformable-attention impl (resolved by build_model:
     # "pallas" on TPU inference, "xla" for training/CPU)
     encoder_msdeform_impl: str = "xla"
+    # sparse middle-encoder formulation: "dense" (masked batched-2D
+    # convs on the MXU, exact spconv site sets) | "gather" (sort +
+    # searchsorted static-buffer ops) — see models/sparse_encoder.py
+    sparse_impl: str = "dense"
 
     @nn.compact
     def __call__(self, points, num_points, deterministic: bool = True):
@@ -366,7 +370,10 @@ class ObjDGCNN(nn.Module):
             denom = jnp.maximum(counts, 1)[..., None].astype(voxels.dtype)
             vfeats = jnp.sum(voxels, axis=2) / denom        # [B, V, F]
             canvas = SparseEncoder(
-                sparse_shape=self.sparse_shape, name="middle_encoder")(
+                sparse_shape=self.sparse_shape, impl=self.sparse_impl,
+                compute_dtype=(self.compute_dtype
+                               if self.sparse_impl == "dense" else None),
+                name="middle_encoder")(
                 vfeats, coords, nv,
                 train=not deterministic)                    # [B, H', W', 256]
             feats = SECOND(layer_nums=(5, 5), layer_strides=(1, 2),

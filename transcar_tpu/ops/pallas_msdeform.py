@@ -125,8 +125,20 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
     """All of one query level sampling one value level.
 
     value_lv: [B, H_v, W_v, C]; omp: [B, H_q, H·P·W_q, 8] →
-    [B, H_q·W_q, C] partial output (this value level's contribution)."""
+    [B, H_q·W_q, C] partial output (this value level's contribution).
+
+    Batched calls loop per-sample: with the batch in the pallas grid the
+    value block's index map varies across grid steps, so Mosaic
+    double-buffers the whole [W_v, H_v·C] level (~32 MB at 256² C=256) and
+    the scoped-VMEM stack OOMs at compile for b ≥ 2 (73 MB > 64.5 MB,
+    measured).  Per-sample calls keep the value block grid-invariant
+    (single-buffered) and XLA caches the identical kernel across samples."""
     b = value_lv.shape[0]
+    if b > 1:
+        return jnp.concatenate(
+            [_enc_pair(value_lv[i:i + 1], omp[i:i + 1], hq, wq, hv, wv,
+                       heads, d, npts, band, interpret)
+             for i in range(b)], axis=0)
     c = heads * d
     vt = jnp.transpose(value_lv, (0, 2, 1, 3)).reshape(b, wv, hv * c)
     kern = functools.partial(_enc_kernel, hq=hq, wq=wq, hv=hv, wv=wv,
