@@ -109,3 +109,60 @@ def test_horizontal_offsets_unbounded_and_edges_exact():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_custom_vjp_grads_match_xla_oracle_in_band():
+    """d_value / d_locations / d_weights of the banded custom VJP equal
+    jax.grad of the exact XLA oracle wherever every vertical tap stays
+    in band (the same regime the forward tests pin)."""
+    from transcar_tpu.ops.pallas_msdeform import pallas_msdeform_encoder_ad
+
+    rng = np.random.default_rng(5)
+    value, loc, wgt = _enc_inputs(rng, b=2, max_cells=1.5)
+    shapes = tuple(SHAPES)
+
+    def loss_oracle(v, lo, w):
+        out = ms_deform_attn_core(v, shapes, lo, w)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    def loss_kernel(v, lo, w):
+        out = pallas_msdeform_encoder_ad(v, shapes, lo, w, 8, True)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    g_ref = jax.grad(loss_oracle, argnums=(0, 1, 2))(value, loc, wgt)
+    g_got = jax.grad(loss_kernel, argnums=(0, 1, 2))(value, loc, wgt)
+    for name, a, b in zip(("d_value", "d_loc", "d_weights"),
+                          g_got, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2 * scale,
+                                   err_msg=name)
+        assert np.abs(b).max() > 1e-4, f"{name} vacuous"
+
+
+def test_custom_vjp_structural_exactness_small_values():
+    """Tiny values keep the bf16 cast nearly exact: any STRUCTURAL
+    backward error (wrong band row, head/point mixing, missed query
+    range in the d_value kernel) shows up far above the tolerance."""
+    from transcar_tpu.ops.pallas_msdeform import pallas_msdeform_encoder_ad
+
+    rng = np.random.default_rng(9)
+    value, loc, wgt = _enc_inputs(rng, b=1, max_cells=1.0)
+    value = value * 1e-3
+    shapes = tuple(SHAPES)
+
+    def loss_oracle(v, lo, w):
+        return jnp.sum(ms_deform_attn_core(v, shapes, lo, w) ** 2)
+
+    def loss_kernel(v, lo, w):
+        return jnp.sum(
+            pallas_msdeform_encoder_ad(v, shapes, lo, w, 8, True) ** 2)
+
+    g_ref = jax.grad(loss_oracle, argnums=(0, 1, 2))(value, loc, wgt)
+    g_got = jax.grad(loss_kernel, argnums=(0, 1, 2))(value, loc, wgt)
+    for name, a, b in zip(("d_value", "d_loc", "d_weights"),
+                          g_got, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-2,
+                                   err_msg=name)

@@ -169,3 +169,38 @@ def test_dense_impl_matches_gather_impl_same_params():
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
                                rtol=1e-4, atol=1e-4)
     assert float(jnp.abs(out_g).max()) > 0.01        # non-vacuous
+
+
+def test_dense_impl_bf16_compute_grads():
+    """Training regression: grad through the dense encoder with bf16
+    conv compute (the model default).  A preferred_element_type=f32
+    conv over bf16 operands fails type-checking under grad (its
+    transpose feeds the f32 cotangent into a bf16 conv) — hit by the
+    first voxel train step on TPU."""
+    rng = np.random.default_rng(13)
+    n = 25
+    feats = np.zeros((1, V_MAX, CIN), np.float32)
+    coords = np.zeros((1, V_MAX, 3), np.int32)
+    lin = rng.choice(GRID[0] * GRID[1] * GRID[2], size=n, replace=False)
+    coords[0, :n] = np.stack([lin // (GRID[1] * GRID[2]),
+                              (lin // GRID[2]) % GRID[1],
+                              lin % GRID[2]], axis=1)
+    feats[0, :n] = rng.normal(size=(n, CIN))
+    counts = jnp.asarray([n], jnp.int32)
+    fj, cj = jnp.asarray(feats), jnp.asarray(coords)
+
+    enc = SparseEncoder(sparse_shape=GRID, impl="dense",
+                        compute_dtype="bfloat16")
+    var = enc.init(jax.random.PRNGKey(0), fj, cj, counts, train=True)
+
+    def loss(p):
+        out, _ = enc.apply({"params": p,
+                            "batch_stats": var["batch_stats"]},
+                           fj, cj, counts, train=True,
+                           mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(var["params"])
+    total = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g, 0.0)
+    assert np.isfinite(total) and total > 0.0

@@ -191,9 +191,11 @@ class ModelConfig:
     max_points_per_voxel: int = 20
     bev_hw: Tuple[int, int] = (512, 512)
     sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)  # voxel.py:34-43
-    # voxel middle-encoder formulation: "dense" (masked MXU convs,
-    # exact spconv site sets) | "gather" (sort+searchsorted buffers)
-    sparse_impl: str = "dense"
+    # voxel middle-encoder formulation: "gather" (static site buffers +
+    # dense-table neighbor lookup — the full-resolution default: XLA
+    # pads the dense grid 3.1× at stage-0 shapes, a 24.5 GB HBM OOM) |
+    # "dense" (masked MXU convs, exact spconv site sets — small grids)
+    sparse_impl: str = "gather"
 
 
 @dataclass(frozen=True)

@@ -198,18 +198,22 @@ def build_model(cfg: TransCARConfig, training: bool = False):
     if m.lidar_encoder:
         from transcar_tpu.models.dgcnn import ObjDGCNN
 
-        # banded Pallas encoder attention on TPU inference (training and
-        # CPU meshes keep the autodiff-able XLA gather — same routing
-        # policy as the camera DCN kernel below)
-        msd = ("pallas" if (not training
-                            and jax.default_backend() == "tpu")
-               else "xla")
+        # banded Pallas encoder attention on TPU — inference AND
+        # training (custom-VJP banded backward, ops/pallas_msdeform.py;
+        # the XLA encoder backward OOMs at 59.7 GB and chunked
+        # constructs fault the v5e worker).  CPU meshes keep the
+        # autodiff-able XLA gather.  Training widens the vertical band
+        # (trained offsets can drift past the mmcv-init spread — same
+        # policy as the camera DCN band auto-widen below).
+        msd = "pallas" if jax.default_backend() == "tpu" else "xla"
+        enc_band = 24 if (training and msd == "pallas") else 16
         return ObjDGCNN(
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
             bev_hw=m.bev_hw, sparse_shape=m.sparse_shape,
             compute_dtype=m.lidar_compute_dtype,
-            encoder_msdeform_impl=msd, sparse_impl=m.sparse_impl)
+            encoder_msdeform_impl=msd, encoder_band=enc_band,
+            sparse_impl=m.sparse_impl)
     # rows_per_step (grid coarsening): the forward's per-row pipeline
     # and the Pallas backward center the band with the same per-row
     # formula, so the knob is exactness-neutral for training and

@@ -112,10 +112,14 @@ class MSDeformAttention(nn.Module):
         loc = (reference_points[:, :, None, :, None, :]
                + offsets / normalizer[None, None, None, :, None, :])
         if self.impl == "pallas":
+            # the custom-VJP wrapper: identical forward kernel; under
+            # a training backward it routes to the banded Pallas K1/K2
+            # kernels (the XLA encoder backward is a 59.7 GB OOM at
+            # full BEV resolution — docs/PERF_NOTES.md round 4)
             from transcar_tpu.ops.pallas_msdeform import (
-                pallas_msdeform_encoder)
-            out = pallas_msdeform_encoder(val, spatial_shapes, loc,
-                                          weights, band=self.band)
+                pallas_msdeform_encoder_ad)
+            out = pallas_msdeform_encoder_ad(val, tuple(spatial_shapes),
+                                             loc, weights, self.band)
         else:
             out = ms_deform_attn_core(val, spatial_shapes, loc, weights,
                                       query_chunk=self.query_chunk)
@@ -212,8 +216,12 @@ class DGCNN3DHead(nn.Module):
     # ~chunk-size (HBM-OOM at bs2 unchunked on v5e); 0 disables
     encoder_query_chunk: int = 16384
     # "xla" | "pallas" — banded one-hot-matmul encoder attention
-    # (ops/pallas_msdeform.py); resolved by build_model, TPU inference
+    # (ops/pallas_msdeform.py); resolved by build_model (TPU inference
+    # AND training — the custom-VJP banded backward)
     encoder_msdeform_impl: str = "xla"
+    # vertical band (value-level rows) of the pallas encoder attention;
+    # training builds widen it (same policy as the DCN band)
+    encoder_band: int = 16
 
     @nn.compact
     def __call__(self, mlvl_feats, deterministic: bool = True):
@@ -254,6 +262,7 @@ class DGCNN3DHead(nn.Module):
             x = MSDeformAttention(e, c.num_heads, l, self.num_points,
                                   query_chunk=self.encoder_query_chunk,
                                   impl=self.encoder_msdeform_impl,
+                                  band=self.encoder_band,
                                   name=f"encoder{i}_attn")(
                 x, pos_embed, x, shapes, enc_ref,
                 deterministic=deterministic)
@@ -332,12 +341,14 @@ class ObjDGCNN(nn.Module):
     # params/BN stats fp32, convs bf16, head fp32); None = fp32
     compute_dtype: Optional[str] = "bfloat16"
     # encoder deformable-attention impl (resolved by build_model:
-    # "pallas" on TPU inference, "xla" for training/CPU)
+    # "pallas" on TPU for inference AND training — custom-VJP banded
+    # backward; "xla" on CPU)
     encoder_msdeform_impl: str = "xla"
-    # sparse middle-encoder formulation: "dense" (masked batched-2D
-    # convs on the MXU, exact spconv site sets) | "gather" (sort +
-    # searchsorted static-buffer ops) — see models/sparse_encoder.py
-    sparse_impl: str = "dense"
+    encoder_band: int = 16
+    # sparse middle-encoder formulation: "gather" (static buffers +
+    # dense-table lookup, the full-res default) | "dense" (masked MXU
+    # convs; OOMs at full grid) — see models/sparse_encoder.py
+    sparse_impl: str = "gather"
 
     @nn.compact
     def __call__(self, points, num_points, deterministic: bool = True):
@@ -389,5 +400,6 @@ class ObjDGCNN(nn.Module):
         feats = [f.astype(jnp.float32) for f in feats]
         return DGCNN3DHead(c, self.bev_hw,
                            encoder_msdeform_impl=self.encoder_msdeform_impl,
+                           encoder_band=self.encoder_band,
                            name="head")(
             feats, deterministic=deterministic)

@@ -64,11 +64,16 @@ def _conv3d_zshift(x: jnp.ndarray, w27: jnp.ndarray, stride: int,
         xs = (xp[:, dz:dz + z] if stride == 1
               else xp[:, dz:dz + 2 * zo - 1:2])
         xs = xs.reshape(b * zo, h, ww, cin)
+        # same-dtype conv (+ f32 cast for the dz accumulation): a
+        # preferred_element_type=f32 conv over bf16 operands has a
+        # transpose rule that feeds the f32 cotangent into a bf16 conv
+        # and fails type-checking under grad (hit by the voxel train
+        # step); bf16 convs accumulate in f32 on the MXU regardless.
         out = out + jax.lax.conv_general_dilated(
             xs, w[dz], window_strides=(stride, stride),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+        ).astype(jnp.float32)
     return out.reshape(b, zo, ho, wo, cout)
 
 
@@ -106,6 +111,12 @@ class DenseSparseConvBlock(nn.Module):
             (27, cin, self.out_channels))
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         x = _conv3d_zshift(x, weight, 2 if self.downsample else 1, dt)
+        if dt is not None:
+            # keep inter-block activations in the compute dtype: the
+            # stage-0 grid is [41, 1024, 1024, C] — fp32 storage would
+            # stream 2.75 GB per 16-channel block (BN still reduces its
+            # statistics in fp32 internally)
+            x = x.astype(dt)
         if self.downsample:
             mask = _downsample_mask(mask)
         x = x * mask[..., None].astype(x.dtype)
@@ -155,14 +166,17 @@ class SparseEncoder(nn.Module):
     Two exact formulations behind ``impl`` (identical param trees —
     checkpoints interchangeable):
 
-    * ``"dense"`` (default): scatter the sites into the dense grid ONCE,
-      then every block is masked batched-2D convs on the MXU
-      (:class:`DenseSparseConvBlock`).  No sorts/searchsorteds/gathers —
-      the TPU-first formulation.  Site sets are exact spconv semantics
-      (no ``out_max`` cap).
-    * ``"gather"``: static-buffer sort + searchsorted sparse ops
-      (ops/sparse.py), vmapped per sample.  Keeps FLOPs sparse but pays
-      per-index gather latency on TPU; downsample site sets cap at V.
+    * ``"gather"`` (the model default at full resolution): static-buffer
+      sparse ops with dense-table neighbor lookup (ops/sparse.py),
+      vmapped per sample.  Keeps FLOPs sparse; downsample site sets cap
+      at V.
+    * ``"dense"``: scatter the sites into the dense grid ONCE, then
+      every block is masked batched-2D convs on the MXU
+      (:class:`DenseSparseConvBlock`).  No table/gathers at all and
+      exact spconv site sets (no ``out_max`` cap) — but at the full
+      [41, 1024, 1024] stage-0 grid XLA's (8, 128) tiling pads the
+      16-channel activations 3.1× (24.5 GB HBM, measured) — use on
+      small grids / CPU.
     """
 
     sparse_shape: Tuple[int, int, int] = (41, 1024, 1024)   # (z, y, x)
@@ -232,6 +246,10 @@ class SparseEncoder(nn.Module):
                     m[:-1].reshape(gz, gy, gx))
 
         x, mask = jax.vmap(scatter)(feats, coords, count)
+        if self.compute_dtype:
+            # the first conv casts to the compute dtype anyway; storing
+            # the 860 MB full-grid canvas at bf16 halves its stream
+            x = x.astype(self.compute_dtype)
         x, mask = DenseSparseConvBlock(
             self.encoder_channels[0][0], compute_dtype=self.compute_dtype,
             name="conv_input")(x, mask, train=train)

@@ -29,8 +29,25 @@ the full value row; off-image taps are exact zeros, grid_sample
 ``padding_mode='zeros'``).  Vertical taps that leave the ``band``-row
 window contribute zero — exact for |Δy| ≤ band/2 − 2 value-level cells
 (the mmcv init spreads points ≤ P = 4 cells; same banded contract and
-config knob as the DCN kernel, dcn_band_rows).  Forward/inference only:
-training keeps the autodiff-able XLA path (models route on impl).
+config knob as the DCN kernel, dcn_band_rows).
+
+Training: :func:`pallas_msdeform_encoder_ad` adds a custom-VJP banded
+backward (the ops/pallas_dcn.py recipe).  The XLA autodiff of the
+gather encoder materializes 59.7 GB at full BEV resolution and every
+chunked construct (lax.map or unrolled) faults the v5e worker
+(docs/PERF_NOTES.md round 4) — full-res LiDAR training needs kernels.
+Two backward kernels per (query-level, value-level) pair:
+
+  K1 (grid over query rows, forward structure): recompute the banded
+     taps plus their ∂/∂fx, ∂/∂fy one-hot-derivative dots in one
+     stacked MXU call, reduce against the head-masked output grads →
+     per-tap (d_attn, d_fx, d_fy).
+  K2 (grid over value rows × query-row blocks): d_value[v] gathers the
+     output grads of the ~band·H_q/H_v query rows whose bands cover v
+     (block index map walks the range) and contracts a transposed
+     bilinear one-hot, point-presummed, against them — the scatter as
+     a matmul, with NO revisited [W_v, H_v·C] fp32 accumulator (the
+     VMEM-OOM a DCN-style dx accumulator would hit at 256² C=256).
 
 Semantics target: mmcv MultiScaleDeformableAttention
 (configs/obj_dgcnn/pillar.py:76,94) — oracle =
@@ -96,6 +113,136 @@ def _enc_kernel(v_ref, omp_ref, o_ref, *, hq, wq, hv, wv, c, d, heads,
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
+                     c, d, heads, npts, band):
+    """K1 — one query row: per-tap (d_attn, d_fx, d_fy, 0) lanes.
+
+    v_ref:    [1, W_v, H_v·C] transposed value (bf16)
+    omp_ref:  [1, 1, heads·P·W_q, 8] forward per-tap precompute
+    g_ref:    [1, 1, W_q, C] output grad rows (fp32)
+    dofs_ref: [1, 1, heads·P·W_q, 4]
+    """
+    r = pl.program_id(1)
+    center = ((2 * r + 1) * hv) // (2 * hq)
+    s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
+    xband = v_ref[0, :, pl.ds(pl.multiple_of(s * c, c), band * c)]
+
+    tp = npts * wq
+    g_row = g_ref[0, 0].astype(jnp.float32)              # [W_q, C]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
+    for h in range(heads):
+        omp = omp_ref[0, 0, h * tp:(h + 1) * tp]         # [tp, 8]
+        y0r = omp[:, 0:1].astype(jnp.int32) - s
+        fy = omp[:, 1:2]
+        x0 = omp[:, 2:3].astype(jnp.int32)
+        fx = omp[:, 3:4]
+        aw = omp[:, 4:5]
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (tp, wv), 1)
+        wx_raw = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+                  + jnp.where(jj == x0 + 1, fx, 0.0))    # aw-free
+        dwx = (jnp.where(jj == x0 + 1, 1.0, 0.0)
+               - jnp.where(jj == x0, 1.0, 0.0))
+        bb = jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1)
+        wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
+              + jnp.where(bb == y0r + 1, fy, 0.0))
+        dwy = (jnp.where(bb == y0r + 1, 1.0, 0.0)
+               - jnp.where(bb == y0r, 1.0, 0.0))
+
+        # one stacked MXU call per band row: taps and their ∂/∂fx
+        wxc = jnp.concatenate([wx_raw, dwx], axis=0).astype(v_ref.dtype)
+        snk = jnp.zeros((tp, c), jnp.float32)            # sampled, aw-free
+        ydy = jnp.zeros((tp, c), jnp.float32)
+        ydx = jnp.zeros((tp, c), jnp.float32)
+        for b in range(band):
+            both = jax.lax.dot_general(
+                wxc, xband[:, b * c:(b + 1) * c],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [2tp, C]
+            xr_b = both[:tp]
+            snk = snk + wy[:, b:b + 1] * xr_b
+            ydy = ydy + dwy[:, b:b + 1] * xr_b
+            ydx = ydx + wy[:, b:b + 1] * both[tp:]
+
+        # head-masked grad rows, tiled per point (rows p·W_q + i)
+        gm = jnp.where(jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
+                       g_row, 0.0)
+        gt = jnp.concatenate([gm] * npts, axis=0)        # [tp, C]
+        d_aw = jnp.sum(snk * gt, axis=1, keepdims=True)
+        d_fx = aw * jnp.sum(ydx * gt, axis=1, keepdims=True)
+        d_fy = aw * jnp.sum(ydy * gt, axis=1, keepdims=True)
+        dofs_ref[0, 0, h * tp:(h + 1) * tp] = jnp.concatenate(
+            [d_aw, d_fx, d_fy, jnp.zeros((tp, 1), jnp.float32)], axis=1)
+
+
+def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
+                      heads, npts, band, qg, nq):
+    """K2 — one (value row v, query-row block k): add the block's
+    contribution to d_value[v].
+
+    omp_ref:  [1, 1, qg·heads·P·W_q, 8] — q-rows [qb(v)+k]·qg …
+    g_ref:    [1, 1, qg·W_q, C] output grad rows of the same q-rows
+    dval_ref: [1, 1, W_v, C] — revisited across k (index constant in k)
+    """
+    v = pl.program_id(1)
+    k = pl.program_id(2)
+    qb = _k2_qbase(v, hq, hv, band, qg, nq)
+
+    @pl.when(k == 0)
+    def _init():
+        dval_ref[...] = jnp.zeros(dval_ref.shape, dval_ref.dtype)
+
+    tp = npts * wq
+    th = heads * tp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
+    acc = jnp.zeros((wv, c), jnp.float32)
+    for j in range(qg):
+        r = (qb + k) * qg + j
+        center = ((2 * r + 1) * hv) // (2 * hq)
+        s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
+        in_band = jnp.logical_and(v - s >= 0, v - s <= band - 1)
+
+        omp = omp_ref[0, 0, j * th:(j + 1) * th]          # [th, 8]
+        y0 = omp[:, 0:1].astype(jnp.int32)
+        fy = omp[:, 1:2]
+        x0 = omp[:, 2:3].astype(jnp.int32)
+        fx = omp[:, 3:4]
+        aw = omp[:, 4:5]
+        # vertical weight of each tap onto value row v, exactly as the
+        # forward's band loop counted it (wy at b = v−s)
+        wvert = (jnp.where(y0 == v, 1.0 - fy, 0.0)
+                 + jnp.where(y0 == v - 1, fy, 0.0)) * aw
+        wvert = jnp.where(in_band, wvert, 0.0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (th, wv), 1)
+        w2 = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+              + jnp.where(jj == x0 + 1, fx, 0.0)) * wvert  # [th, W_v]
+
+        # pre-sum over points (grad rows are point-independent) and
+        # stack heads: [heads·W_q, W_v]
+        wp = jnp.concatenate([
+            sum(w2[h * tp + p * wq:(h * tp + (p + 1) * wq)]
+                for p in range(npts))
+            for h in range(heads)], axis=0)
+        g_loc = g_ref[0, 0, j * wq:(j + 1) * wq].astype(jnp.float32)
+        gh = jnp.concatenate([
+            jnp.where(jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
+                      g_loc, 0.0)
+            for h in range(heads)], axis=0)               # [heads·W_q, C]
+        acc = acc + jax.lax.dot_general(
+            wp.astype(jnp.bfloat16), gh.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [W_v, C]
+    dval_ref[0, 0] += acc
+
+
+def _k2_qbase(v, hq, hv, band, qg, nq):
+    """First query-row BLOCK whose rows can band-cover value row v.
+    Conservative: the [qb, qb+nq) blocks provably cover every query row
+    r with s(r) ≤ v ≤ s(r)+band−1 (s is nondecreasing in r)."""
+    qb = ((v - band) * hq // hv - qg) // qg
+    return jnp.clip(qb, 0, hq // qg - nq)
+
+
 def _omp_precompute(loc, wgt, hq, wq, hv, wv):
     """[B, Q_l, H, P, 2] locations (this value level) + weights →
     [B, H_q, H·P·W_q, 8] per-tap lanes (head-major, then point)."""
@@ -127,18 +274,24 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
     value_lv: [B, H_v, W_v, C]; omp: [B, H_q, H·P·W_q, 8] →
     [B, H_q·W_q, C] partial output (this value level's contribution).
 
-    Batched calls loop per-sample: with the batch in the pallas grid the
-    value block's index map varies across grid steps, so Mosaic
-    double-buffers the whole [W_v, H_v·C] level (~32 MB at 256² C=256) and
-    the scoped-VMEM stack OOMs at compile for b ≥ 2 (73 MB > 64.5 MB,
-    measured).  Per-sample calls keep the value block grid-invariant
-    (single-buffered) and XLA caches the identical kernel across samples."""
+    Batched calls loop per-sample AND serialize via optimization_barrier:
+    with the batch in the pallas grid, Mosaic double-buffers the whole
+    [W_v, H_v·C] value level (~32 MB at 256² C=256, → 73 MB scoped-VMEM
+    compile OOM); with independent per-sample calls, XLA async-prefetches
+    the next call's operand during the current one, so both scoped
+    stacks are live at once (71.69 MB > 64.5 MB, both measured).  The
+    barrier makes sample i's input depend on sample i−1's output —
+    sequential kernels, one scoped stack at a time."""
     b = value_lv.shape[0]
     if b > 1:
-        return jnp.concatenate(
-            [_enc_pair(value_lv[i:i + 1], omp[i:i + 1], hq, wq, hv, wv,
-                       heads, d, npts, band, interpret)
-             for i in range(b)], axis=0)
+        outs = []
+        for i in range(b):
+            vi = value_lv[i:i + 1]
+            if outs:
+                vi, _ = jax.lax.optimization_barrier((vi, outs[-1]))
+            outs.append(_enc_pair(vi, omp[i:i + 1], hq, wq, hv, wv,
+                                  heads, d, npts, band, interpret))
+        return jnp.concatenate(outs, axis=0)
     c = heads * d
     vt = jnp.transpose(value_lv, (0, 2, 1, 3)).reshape(b, wv, hv * c)
     kern = functools.partial(_enc_kernel, hq=hq, wq=wq, hv=hv, wv=wv,
@@ -161,6 +314,162 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
         interpret=interpret,
     )(vt, omp)
     return out.reshape(b, hq * wq, c)
+
+
+def _bwd_taps_pair(vt, omp, g, hq, wq, hv, wv, heads, d, npts, band,
+                   interpret):
+    """K1 driver for one sample: → dofs [1, H_q, heads·P·W_q, 4]."""
+    c = heads * d
+    th = heads * npts * wq
+    kern = functools.partial(_bwd_taps_kernel, hq=hq, wq=wq, hv=hv,
+                             wv=wv, c=c, d=d, heads=heads, npts=npts,
+                             band=band)
+    return pl.pallas_call(
+        kern,
+        grid=(1, hq),
+        in_specs=[
+            pl.BlockSpec((1, wv, hv * c), lambda bi, r: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th, 8), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wq, c), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, 4), lambda bi, r: (bi, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, hq, th, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(vt, omp, g)
+
+
+def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
+                    interpret):
+    """K2 driver for one sample: → d_value [1, H_v, W_v, C]."""
+    c = heads * d
+    th = heads * npts * wq
+    qg = min(8, hq)
+    nblocks = hq // qg
+    width_rows = 2 * band * hq // hv + 2 * qg + 2
+    nq = min(nblocks, -(-width_rows // qg))
+    ompb = omp.reshape(1, nblocks, qg * th, 8)
+    gb = g.reshape(1, nblocks, qg * wq, c)
+    kern = functools.partial(_bwd_value_kernel, hq=hq, wq=wq, hv=hv,
+                             wv=wv, c=c, d=d, heads=heads, npts=npts,
+                             band=band, qg=qg, nq=nq)
+
+    def _qmap(bi, v, k):
+        return (bi, _k2_qbase(v, hq, hv, band, qg, nq) + k, 0, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(1, hv, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, qg * th, 8), _qmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qg * wq, c), _qmap,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wv, c),
+                               lambda bi, v, k: (bi, v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, hv, wv, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(ompb, gb)
+
+
+def _encoder_bwd_impl(value, spatial_shapes, sampling_locations,
+                      attention_weights, band, interpret, g):
+    """Banded backward: per (sample, query level, value level) pair run
+    K1 (per-tap d_attn/d_loc) and K2 (d_value) and reassemble."""
+    b, s, heads, d = value.shape
+    _, q, _, l, npts, _ = sampling_locations.shape
+    c = heads * d
+    vt = value.astype(jnp.bfloat16)
+
+    starts, acc = [], 0
+    for (hl, wl) in spatial_shapes:
+        starts.append(acc)
+        acc += hl * wl
+
+    d_val_samples, d_loc_samples, d_aw_samples = [], [], []
+    for i in range(b):
+        d_val_lv = [None] * l
+        d_loc_lq, d_aw_lq = [], []
+        for lq, (hq, wq) in enumerate(spatial_shapes):
+            q0 = starts[lq]
+            nl = hq * wq
+            g_lq = g[i:i + 1, q0:q0 + nl].reshape(1, hq, wq, c)
+            d_loc_parts, d_aw_parts = [], []
+            for lv, (hv, wv) in enumerate(spatial_shapes):
+                bnd = min(band, hv)
+                vl = vt[i:i + 1, starts[lv]:starts[lv] + hv * wv]
+                vl_t = jnp.transpose(
+                    vl.reshape(1, hv, wv, c), (0, 2, 1, 3)
+                ).reshape(1, wv, hv * c)
+                omp = _omp_precompute(
+                    sampling_locations[i:i + 1, q0:q0 + nl, :, lv],
+                    attention_weights[i:i + 1, q0:q0 + nl, :, lv],
+                    hq, wq, hv, wv)
+                dofs = _bwd_taps_pair(vl_t, omp, g_lq, hq, wq, hv, wv,
+                                      heads, d, npts, bnd, interpret)
+                dofs = dofs.reshape(1, hq, heads, npts, wq, 4)
+                dofs = dofs.transpose(0, 1, 4, 2, 3, 5)   # [1,Hq,Wq,H,P,4]
+                dofs = dofs.reshape(1, nl, heads, npts, 4)
+                d_aw_parts.append(dofs[..., 0])
+                d_loc_parts.append(jnp.stack(
+                    [dofs[..., 1] * wv, dofs[..., 2] * hv], axis=-1))
+                dv = _bwd_value_pair(omp, g_lq, hq, wq, hv, wv, heads,
+                                     d, npts, bnd, interpret)
+                d_val_lv[lv] = dv if d_val_lv[lv] is None \
+                    else d_val_lv[lv] + dv
+            d_aw_lq.append(jnp.stack(d_aw_parts, axis=3))  # [1,nl,H,L,P]
+            d_loc_lq.append(jnp.stack(d_loc_parts, axis=3))
+        d_aw_samples.append(jnp.concatenate(d_aw_lq, axis=1))
+        d_loc_samples.append(jnp.concatenate(d_loc_lq, axis=1))
+        d_val_samples.append(jnp.concatenate(
+            [d_val_lv[lv].reshape(1, hl * wl, heads, d)
+             for lv, (hl, wl) in enumerate(spatial_shapes)], axis=1))
+
+    d_value = jnp.concatenate(d_val_samples, axis=0).astype(value.dtype)
+    d_loc = jnp.concatenate(d_loc_samples, axis=0).astype(
+        sampling_locations.dtype)
+    d_aw = jnp.concatenate(d_aw_samples, axis=0).astype(
+        attention_weights.dtype)
+    return d_value, d_loc, d_aw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def pallas_msdeform_encoder_ad(value, spatial_shapes, sampling_locations,
+                               attention_weights, band=16,
+                               interpret=False):
+    """Differentiable banded encoder attention: the forward kernel plus
+    a custom banded Pallas VJP (see module docstring).  Gradients equal
+    the exact XLA path's wherever every vertical tap stays in band —
+    the same contract as the forward."""
+    return pallas_msdeform_encoder(value, spatial_shapes,
+                                   sampling_locations, attention_weights,
+                                   band, interpret)
+
+
+def _ad_fwd(value, spatial_shapes, sampling_locations, attention_weights,
+            band, interpret):
+    out = pallas_msdeform_encoder(value, spatial_shapes,
+                                  sampling_locations, attention_weights,
+                                  band, interpret)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _ad_bwd(spatial_shapes, band, interpret, res, g):
+    value, loc, aw = res
+    return _encoder_bwd_impl(value, spatial_shapes, loc, aw, band,
+                             interpret, g)
+
+
+pallas_msdeform_encoder_ad.defvjp(_ad_fwd, _ad_bwd)
 
 
 def pallas_msdeform_encoder(value: jnp.ndarray,

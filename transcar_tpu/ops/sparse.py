@@ -3,20 +3,26 @@
 The reference's voxel-variant ObjDGCNN uses spconv/mmcv CUDA sparse
 convolutions inside mmdet3d's ``SparseEncoder``
 (configs/obj_dgcnn/voxel.py:34-43).  CUDA sparse conv builds hash-table
-"rulebooks"; the TPU-native equivalent here is static-shape sort +
-searchsorted:
+"rulebooks"; the TPU-native equivalent here is a dense lookup table:
 
   * active sites live in fixed [V_max] buffers (features, (z, y, x) coords,
     count) — the output of ops/voxelize.hard_voxelize;
-  * neighbor lookup: linearize coords, sort once, then for every kernel
-    offset a vectorized ``searchsorted`` finds the neighbor's slot (miss →
-    V_max, which indexes a zero row);
+  * neighbor lookup: scatter each site's ROW INDEX into a dense
+    [grid+1] int32 table once per site set, then every kernel offset is
+    one flat gather (miss → V_max, which indexes a zero row).  An
+    earlier sort + ``searchsorted`` formulation was the voxel track's
+    dominant cost on TPU — its binary-search lowers to a while loop of
+    dynamic gathers, ~10.3 ms × 27 offsets × 12 blocks ≈ 2.1 s/forward
+    (trace attribution, docs/PERF_NOTES.md round 4); the table is one
+    scatter + flat gathers and removes the sort entirely;
   * submanifold conv (SubMConv3d): output sites = input sites; gather the
     K=27 neighbors and contract with the kernel on the MXU;
   * strided sparse conv (SparseConv3d k=3 s=2 p=1): each input contributes
     to up to 2³ downsampled sites (o·2 + t = i, t ∈ [-1, 1]); the output
-    site set is their deduplicated union (sort-unique, capped), then a
-    gather-contract like the submanifold case.
+    site set is their deduplicated union (dense mark grid + cumsum
+    compaction — linear-id ascending, the same order and ``out_max``
+    cap semantics as the previous sort-unique), then a gather-contract
+    like the submanifold case.
 
 Everything jits with static shapes; batching via vmap.
 """
@@ -48,6 +54,17 @@ def _kernel_offsets(k: int = 3) -> np.ndarray:
     return np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
 
 
+def _site_table(coords: jnp.ndarray, valid: jnp.ndarray,
+                grid: Tuple[int, int, int], v: int) -> jnp.ndarray:
+    """Dense [gz·gy·gx + 1] int32 lookup: linear id → buffer row (v for
+    empty cells; the last slot absorbs out-of-grid queries)."""
+    g = grid[0] * grid[1] * grid[2]
+    lin = _linearize(coords, grid, valid)
+    return jnp.full((g + 1,), v, jnp.int32).at[
+        jnp.minimum(lin, g)].set(
+        jnp.where(valid, jnp.arange(v, dtype=jnp.int32), v))
+
+
 @partial(jax.jit, static_argnames=("grid",))
 def subm_conv(feats: jnp.ndarray, coords: jnp.ndarray,
               num_voxels: jnp.ndarray, weight: jnp.ndarray,
@@ -57,10 +74,9 @@ def subm_conv(feats: jnp.ndarray, coords: jnp.ndarray,
     weight: [27, Cin, Cout] (kernel offsets in _kernel_offsets order).
     """
     v, cin = feats.shape
+    g = grid[0] * grid[1] * grid[2]
     valid = jnp.arange(v) < num_voxels
-    lin = _linearize(coords, grid, valid)
-    order = jnp.argsort(lin)
-    lin_s = lin[order]
+    table = _site_table(coords, valid, grid, v)
 
     feats_z = jnp.concatenate(
         [feats * valid[:, None], jnp.zeros((1, cin), feats.dtype)], axis=0)
@@ -70,10 +86,7 @@ def subm_conv(feats: jnp.ndarray, coords: jnp.ndarray,
     for k in range(offsets.shape[0]):
         nb = coords + offsets[k]
         nb_lin = _linearize(nb, grid, valid)
-        pos = jnp.searchsorted(lin_s, nb_lin)
-        pos = jnp.clip(pos, 0, v - 1)
-        hit = (lin_s[pos] == nb_lin) & (nb_lin != MISS)
-        src = jnp.where(hit, order[pos], v)                   # v → zero row
+        src = table[jnp.minimum(nb_lin, g)]                   # v → zero row
         gathered = jnp.take(feats_z, src, axis=0)             # [V, Cin]
         out = out + jax.lax.dot_general(
             gathered, weight[k].astype(gathered.dtype),
@@ -111,17 +124,20 @@ def sparse_conv_down(feats: jnp.ndarray, coords: jnp.ndarray,
     cand_valid = jnp.tile(valid, 8)
     cand_lin = _linearize(cand, out_grid, cand_valid)
 
-    lin_sorted = jnp.sort(cand_lin)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), lin_sorted[1:] != lin_sorted[:-1]])
-    first = first & (lin_sorted != MISS)
-    slot = jnp.cumsum(first) - 1
-    n_out = jnp.minimum(jnp.sum(first), out_max)
+    # dedup: mark a dense grid, compact by cumsum — linear-id ascending,
+    # the same enumeration order (and out_max cap) as sort-unique,
+    # without the sort
+    g_out = out_grid[0] * out_grid[1] * out_grid[2]
+    mark = jnp.zeros((g_out + 1,), bool).at[
+        jnp.minimum(cand_lin, g_out)].set(cand_valid)
+    mark = mark.at[g_out].set(False)
+    slot = jnp.cumsum(mark.astype(jnp.int32)) - 1
+    n_out = jnp.minimum(jnp.sum(mark), out_max)
 
     out_lin = jnp.full((out_max + 1,), MISS, jnp.int32)
-    write = jnp.where(first & (slot < out_max), slot, out_max)
+    write = jnp.where(mark & (slot < out_max), slot, out_max)
     out_lin = out_lin.at[write].set(
-        jnp.where(first, lin_sorted, MISS))
+        jnp.arange(g_out + 1, dtype=jnp.int32))
     out_lin = out_lin[:out_max]
     gy, gx = out_grid[1], out_grid[2]
     oz = out_lin // (gy * gx)
@@ -132,9 +148,8 @@ def sparse_conv_down(feats: jnp.ndarray, coords: jnp.ndarray,
         jnp.stack([oz, oy, ox], axis=1).astype(jnp.int32), 0)
 
     # gather inputs at i = 2o + t for each kernel offset
-    in_lin = _linearize(coords, grid, valid)
-    order = jnp.argsort(in_lin)
-    in_lin_s = in_lin[order]
+    g_in = grid[0] * grid[1] * grid[2]
+    table = _site_table(coords, valid, grid, v)
     feats_z = jnp.concatenate(
         [feats * valid[:, None], jnp.zeros((1, cin), feats.dtype)], axis=0)
     out_valid = out_lin != MISS
@@ -144,9 +159,7 @@ def sparse_conv_down(feats: jnp.ndarray, coords: jnp.ndarray,
     for k in range(offsets.shape[0]):
         src_coord = out_coords * 2 + offsets[k]
         src_lin = _linearize(src_coord, grid, out_valid)
-        pos = jnp.clip(jnp.searchsorted(in_lin_s, src_lin), 0, v - 1)
-        hit = (in_lin_s[pos] == src_lin) & (src_lin != MISS)
-        src = jnp.where(hit, order[pos], v)
+        src = table[jnp.minimum(src_lin, g_in)]
         gathered = jnp.take(feats_z, src, axis=0)
         out = out + jax.lax.dot_general(
             gathered, weight[k].astype(gathered.dtype),

@@ -59,11 +59,16 @@ def hard_voxelize(points: jnp.ndarray,
     pts_s = points[order]
     valid_s = valid[order]
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]) & valid_s
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
+    first = boundary & valid_s
     voxel_slot = jnp.cumsum(first) - 1                   # per point
-    # rank of each point inside its voxel
-    first_pos = jnp.searchsorted(lin_s, lin_s, side="left")
+    # rank of each point inside its voxel: distance to its run start.
+    # A cumulative max of boundary positions — one vectorized scan —
+    # replaces searchsorted(lin_s, lin_s), whose binary-search while
+    # loop costs ~10 ms at 300k points on v5e (trace, PERF_NOTES).
+    first_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, jnp.arange(n), -1))
     rank = jnp.arange(n) - first_pos
 
     keep = valid_s & (rank < max_points) & (voxel_slot < max_voxels)
