@@ -195,14 +195,19 @@ def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
     tp = npts * wq
     th = heads * tp
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
-    acc = jnp.zeros((wv, c), jnp.float32)
-    for j in range(qg):
+
+    # ROLLED inner loop (fori_loop): unrolled, Mosaic stacks every
+    # iteration's ~10 MB of one-hot temporaries without reuse — an
+    # 82.78 MB scoped-VMEM compile OOM at the voxel track's 128² level
+    # (measured).  Dynamic sublane starts j·th / j·wq are multiples of
+    # 8 by construction.
+    def body(j, acc):
         r = (qb + k) * qg + j
         center = ((2 * r + 1) * hv) // (2 * hq)
         s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
         in_band = jnp.logical_and(v - s >= 0, v - s <= band - 1)
 
-        omp = omp_ref[0, 0, j * th:(j + 1) * th]          # [th, 8]
+        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(j * th, 8), th)]
         y0 = omp[:, 0:1].astype(jnp.int32)
         fy = omp[:, 1:2]
         x0 = omp[:, 2:3].astype(jnp.int32)
@@ -223,15 +228,19 @@ def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
             sum(w2[h * tp + p * wq:(h * tp + (p + 1) * wq)]
                 for p in range(npts))
             for h in range(heads)], axis=0)
-        g_loc = g_ref[0, 0, j * wq:(j + 1) * wq].astype(jnp.float32)
+        g_loc = g_ref[0, 0, pl.ds(pl.multiple_of(j * wq, 8), wq)]
+        g_loc = g_loc.astype(jnp.float32)
         gh = jnp.concatenate([
             jnp.where(jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
                       g_loc, 0.0)
             for h in range(heads)], axis=0)               # [heads·W_q, C]
-        acc = acc + jax.lax.dot_general(
+        return acc + jax.lax.dot_general(
             wp.astype(jnp.bfloat16), gh.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [W_v, C]
+
+    acc = jax.lax.fori_loop(0, qg, body,
+                            jnp.zeros((wv, c), jnp.float32))
     dval_ref[0, 0] += acc
 
 
