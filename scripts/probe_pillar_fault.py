@@ -120,7 +120,11 @@ def run_piece(piece):
         var = mod.init(jax.random.PRNGKey(0), q, qp)
 
         def loss(p):
-            return jnp.sum(mod.apply({"params": p}, q, qp) ** 2)
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": var.get("batch_stats", {})},
+                q, qp, deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out ** 2)
 
         g = jax.jit(jax.grad(loss))(var["params"])
         out = float(jax.tree_util.tree_reduce(
@@ -139,8 +143,10 @@ def run_piece(piece):
                                        deterministic=False))()
 
         def loss(p):
-            out = mod.apply({"params": p}, feats, deterministic=False,
-                            rngs={"dropout": jax.random.PRNGKey(1)})
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": var.get("batch_stats", {})},
+                feats, deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
             return (jnp.sum(out["all_cls_scores"] ** 2)
                     + jnp.sum(out["all_bbox_preds"] ** 2))
 

@@ -125,13 +125,19 @@ def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
     r = pl.program_id(1)
     center = ((2 * r + 1) * hv) // (2 * hq)
     s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
-    xband = v_ref[0, :, pl.ds(pl.multiple_of(s * c, c), band * c)]
 
     tp = npts * wq
     g_row = g_ref[0, 0].astype(jnp.float32)              # [W_q, C]
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
-    for h in range(heads):
-        omp = omp_ref[0, 0, h * tp:(h + 1) * tp]         # [tp, 8]
+
+    # BOTH loops rolled (fori_loop): unrolled heads×band stacks every
+    # iteration's temporaries — 198 MB of 128 MB total VMEM at the 256²
+    # pair, a hard compile failure (measured).  The wy/dwy columns are
+    # recomputed per band row from scalar b (dynamic slicing of a
+    # materialized [tp, band] VALUE is unsupported on Mosaic); the
+    # value band row is sliced from the REF at (s+b)·C (128-aligned).
+    def head_body(h, _):
+        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(h * tp, 8), tp)]
         y0r = omp[:, 0:1].astype(jnp.int32) - s
         fy = omp[:, 1:2]
         x0 = omp[:, 2:3].astype(jnp.int32)
@@ -143,26 +149,26 @@ def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
                   + jnp.where(jj == x0 + 1, fx, 0.0))    # aw-free
         dwx = (jnp.where(jj == x0 + 1, 1.0, 0.0)
                - jnp.where(jj == x0, 1.0, 0.0))
-        bb = jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1)
-        wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
-              + jnp.where(bb == y0r + 1, fy, 0.0))
-        dwy = (jnp.where(bb == y0r + 1, 1.0, 0.0)
-               - jnp.where(bb == y0r, 1.0, 0.0))
-
         # one stacked MXU call per band row: taps and their ∂/∂fx
         wxc = jnp.concatenate([wx_raw, dwx], axis=0).astype(v_ref.dtype)
-        snk = jnp.zeros((tp, c), jnp.float32)            # sampled, aw-free
-        ydy = jnp.zeros((tp, c), jnp.float32)
-        ydx = jnp.zeros((tp, c), jnp.float32)
-        for b in range(band):
+
+        def band_body(b, carry):
+            snk, ydy, ydx = carry
+            xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
             both = jax.lax.dot_general(
-                wxc, xband[:, b * c:(b + 1) * c],
+                wxc, xb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [2tp, C]
             xr_b = both[:tp]
-            snk = snk + wy[:, b:b + 1] * xr_b
-            ydy = ydy + dwy[:, b:b + 1] * xr_b
-            ydx = ydx + wy[:, b:b + 1] * both[tp:]
+            wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
+                    + jnp.where(y0r == b - 1, fy, 0.0))  # [tp, 1]
+            dwy_b = (jnp.where(y0r == b - 1, 1.0, 0.0)
+                     - jnp.where(y0r == b, 1.0, 0.0))
+            return (snk + wy_b * xr_b, ydy + dwy_b * xr_b,
+                    ydx + wy_b * both[tp:])
+
+        z = jnp.zeros((tp, c), jnp.float32)
+        snk, ydy, ydx = jax.lax.fori_loop(0, band, band_body, (z, z, z))
 
         # head-masked grad rows, tiled per point (rows p·W_q + i)
         gm = jnp.where(jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
@@ -171,8 +177,13 @@ def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
         d_aw = jnp.sum(snk * gt, axis=1, keepdims=True)
         d_fx = aw * jnp.sum(ydx * gt, axis=1, keepdims=True)
         d_fy = aw * jnp.sum(ydy * gt, axis=1, keepdims=True)
-        dofs_ref[0, 0, h * tp:(h + 1) * tp] = jnp.concatenate(
-            [d_aw, d_fx, d_fy, jnp.zeros((tp, 1), jnp.float32)], axis=1)
+        dofs_ref[0, 0, pl.ds(pl.multiple_of(h * tp, 8), tp)] = \
+            jnp.concatenate(
+                [d_aw, d_fx, d_fy, jnp.zeros((tp, 1), jnp.float32)],
+                axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, heads, head_body, 0)
 
 
 def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
@@ -206,38 +217,36 @@ def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
         center = ((2 * r + 1) * hv) // (2 * hq)
         s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
         in_band = jnp.logical_and(v - s >= 0, v - s <= band - 1)
-
-        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(j * th, 8), th)]
-        y0 = omp[:, 0:1].astype(jnp.int32)
-        fy = omp[:, 1:2]
-        x0 = omp[:, 2:3].astype(jnp.int32)
-        fx = omp[:, 3:4]
-        aw = omp[:, 4:5]
-        # vertical weight of each tap onto value row v, exactly as the
-        # forward's band loop counted it (wy at b = v−s)
-        wvert = (jnp.where(y0 == v, 1.0 - fy, 0.0)
-                 + jnp.where(y0 == v - 1, fy, 0.0)) * aw
-        wvert = jnp.where(in_band, wvert, 0.0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (th, wv), 1)
-        w2 = (jnp.where(jj == x0, 1.0 - fx, 0.0)
-              + jnp.where(jj == x0 + 1, fx, 0.0)) * wvert  # [th, W_v]
-
-        # pre-sum over points (grad rows are point-independent) and
-        # stack heads: [heads·W_q, W_v]
-        wp = jnp.concatenate([
-            sum(w2[h * tp + p * wq:(h * tp + (p + 1) * wq)]
-                for p in range(npts))
-            for h in range(heads)], axis=0)
         g_loc = g_ref[0, 0, pl.ds(pl.multiple_of(j * wq, 8), wq)]
         g_loc = g_loc.astype(jnp.float32)
-        gh = jnp.concatenate([
-            jnp.where(jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
-                      g_loc, 0.0)
-            for h in range(heads)], axis=0)               # [heads·W_q, C]
-        return acc + jax.lax.dot_general(
-            wp.astype(jnp.bfloat16), gh.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [W_v, C]
+
+        def head_body(h, acc_h):
+            omp = omp_ref[0, 0, pl.ds(
+                pl.multiple_of(j * th + h * tp, 8), tp)]
+            y0 = omp[:, 0:1].astype(jnp.int32)
+            fy = omp[:, 1:2]
+            x0 = omp[:, 2:3].astype(jnp.int32)
+            fx = omp[:, 3:4]
+            aw = omp[:, 4:5]
+            # vertical weight of each tap onto value row v, exactly as
+            # the forward's band loop counted it (wy at b = v−s)
+            wvert = (jnp.where(y0 == v, 1.0 - fy, 0.0)
+                     + jnp.where(y0 == v - 1, fy, 0.0)) * aw
+            wvert = jnp.where(in_band, wvert, 0.0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (tp, wv), 1)
+            w2 = (jnp.where(jj == x0, 1.0 - fx, 0.0)
+                  + jnp.where(jj == x0 + 1, fx, 0.0)) * wvert  # [tp, W_v]
+            # pre-sum over points (grad rows are point-independent)
+            wp = sum(w2[p * wq:(p + 1) * wq] for p in range(npts))
+            gh = jnp.where(
+                jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
+                g_loc, 0.0)                               # [W_q, C]
+            return acc_h + jax.lax.dot_general(
+                wp.astype(jnp.bfloat16), gh.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [W_v, C]
+
+        return jax.lax.fori_loop(0, heads, head_body, acc)
 
     acc = jax.lax.fori_loop(0, qg, body,
                             jnp.zeros((wv, c), jnp.float32))
