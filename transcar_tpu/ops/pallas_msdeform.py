@@ -186,14 +186,23 @@ def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
     jax.lax.fori_loop(0, heads, head_body, 0)
 
 
-def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
+def _bwd_value_kernel(ompt_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
                       heads, npts, band, qg, nq):
     """K2 — one (value row v, query-row block k): add the block's
     contribution to d_value[v].
 
-    omp_ref:  [1, 1, qg·heads·P·W_q, 8] — q-rows [qb(v)+k]·qg …
+    ompt_ref: [1, 1, 8, qg·heads·P·W_q] TRANSPOSED per-tap precompute
+              (taps on the LANE axis: an [taps, 8] layout pads the
+              8-wide lane dim to 128 — a 32 MB×2 block and scoped-VMEM
+              compile OOM, measured)
     g_ref:    [1, 1, qg·W_q, C] output grad rows of the same q-rows
     dval_ref: [1, 1, W_v, C] — revisited across k (index constant in k)
+
+    Loops are ROLLED (fori_loop): unrolled, Mosaic stacks every
+    iteration's one-hot temporaries without reuse (82.78 MB scoped at
+    the voxel 128² level, measured).  Dynamic starts: j·wq sublane
+    (8-aligned); lane starts are multiples of tp_pad = P·W_q padded to
+    a 128-multiple (padded tap columns carry aw = 0).
     """
     v = pl.program_id(1)
     k = pl.program_id(2)
@@ -204,14 +213,10 @@ def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
         dval_ref[...] = jnp.zeros(dval_ref.shape, dval_ref.dtype)
 
     tp = npts * wq
-    th = heads * tp
+    tp_pad = -(-tp // 128) * 128
+    th_pad = heads * tp_pad
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
 
-    # ROLLED inner loop (fori_loop): unrolled, Mosaic stacks every
-    # iteration's ~10 MB of one-hot temporaries without reuse — an
-    # 82.78 MB scoped-VMEM compile OOM at the voxel track's 128² level
-    # (measured).  Dynamic sublane starts j·th / j·wq are multiples of
-    # 8 by construction.
     def body(j, acc):
         r = (qb + k) * qg + j
         center = ((2 * r + 1) * hv) // (2 * hq)
@@ -221,29 +226,31 @@ def _bwd_value_kernel(omp_ref, g_ref, dval_ref, *, hq, wq, hv, wv, c, d,
         g_loc = g_loc.astype(jnp.float32)
 
         def head_body(h, acc_h):
-            omp = omp_ref[0, 0, pl.ds(
-                pl.multiple_of(j * th + h * tp, 8), tp)]
-            y0 = omp[:, 0:1].astype(jnp.int32)
-            fy = omp[:, 1:2]
-            x0 = omp[:, 2:3].astype(jnp.int32)
-            fx = omp[:, 3:4]
-            aw = omp[:, 4:5]
+            ompt = ompt_ref[0, 0, :, pl.ds(
+                pl.multiple_of(j * th_pad + h * tp_pad, 128),
+                tp_pad)]                                  # [8, tp_pad]
+            y0 = ompt[0:1].astype(jnp.int32)
+            fy = ompt[1:2]
+            x0 = ompt[2:3].astype(jnp.int32)
+            fx = ompt[3:4]
+            aw = ompt[4:5]
             # vertical weight of each tap onto value row v, exactly as
             # the forward's band loop counted it (wy at b = v−s)
             wvert = (jnp.where(y0 == v, 1.0 - fy, 0.0)
                      + jnp.where(y0 == v - 1, fy, 0.0)) * aw
-            wvert = jnp.where(in_band, wvert, 0.0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (tp, wv), 1)
-            w2 = (jnp.where(jj == x0, 1.0 - fx, 0.0)
-                  + jnp.where(jj == x0 + 1, fx, 0.0)) * wvert  # [tp, W_v]
-            # pre-sum over points (grad rows are point-independent)
-            wp = sum(w2[p * wq:(p + 1) * wq] for p in range(npts))
+            wvert = jnp.where(in_band, wvert, 0.0)       # [1, tp_pad]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (wv, tp_pad), 0)
+            w2t = (jnp.where(ii == x0, 1.0 - fx, 0.0)
+                   + jnp.where(ii == x0 + 1, fx, 0.0)) * wvert  # [Wv,tp]
+            # pre-sum over points (grad rows are point-independent):
+            # static lane slices at p·W_q, 128-aligned
+            wp = sum(w2t[:, p * wq:(p + 1) * wq] for p in range(npts))
             gh = jnp.where(
                 jnp.logical_and(lane >= h * d, lane < (h + 1) * d),
                 g_loc, 0.0)                               # [W_q, C]
             return acc_h + jax.lax.dot_general(
                 wp.astype(jnp.bfloat16), gh.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [W_v, C]
 
         return jax.lax.fori_loop(0, heads, head_body, acc)
@@ -371,7 +378,18 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
     nblocks = hq // qg
     width_rows = 2 * band * hq // hv + 2 * qg + 2
     nq = min(nblocks, -(-width_rows // qg))
-    ompb = omp.reshape(1, nblocks, qg * th, 8)
+    # transposed per-tap lanes: taps on the LANE axis (an [taps, 8]
+    # block pads its 8-wide lane dim to 128 — 16× VMEM, measured OOM).
+    # Each head's tap run pads to a 128-multiple so in-kernel lane
+    # slice starts are provably aligned (padded taps carry aw = 0).
+    tp = npts * wq
+    tp_pad = -(-tp // 128) * 128
+    omp5 = omp.reshape(1, hq, heads, tp, 8)
+    omp5 = jnp.pad(omp5, ((0, 0), (0, 0), (0, 0), (0, tp_pad - tp),
+                          (0, 0)))
+    ompt = omp5.transpose(0, 4, 1, 2, 3).reshape(
+        1, 8, nblocks, qg * heads * tp_pad)
+    ompt = ompt.transpose(0, 2, 1, 3)    # [1, nblocks, 8, qg·H·tp_pad]
     gb = g.reshape(1, nblocks, qg * wq, c)
     kern = functools.partial(_bwd_value_kernel, hq=hq, wq=wq, hv=hv,
                              wv=wv, c=c, d=d, heads=heads, npts=npts,
@@ -384,7 +402,7 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
         kern,
         grid=(1, hv, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, qg * th, 8), _qmap,
+            pl.BlockSpec((1, 1, 8, qg * heads * tp_pad), _qmap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, qg * wq, c), _qmap,
                          memory_space=pltpu.VMEM),
@@ -396,7 +414,7 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(ompb, gb)
+    )(ompt, gb)
 
 
 def _encoder_bwd_impl(value, spatial_shapes, sampling_locations,
