@@ -12,6 +12,7 @@ import time
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from transcar_tpu.core.config import TransCARConfig, config_to_dict
@@ -351,16 +352,23 @@ def evaluate(cfg: TransCARConfig, params,
                 batch_stats = jax.device_put(batch_stats,
                                              replicated(cam_mesh))
     if cam_mesh is None:
-        # Commit the param tree to device ONCE.  fold_bn_into_conv (and
-        # checkpoint loading) leave host-numpy leaves, and jit re-uploads
-        # host-numpy arguments on EVERY call — a silent full-param-tree
-        # (~240 MB for R101) host→device transfer per eval step.  Measured:
-        # this was ~4.5 s of the 5.26 s/sample end-to-end eval cost through
-        # the relay (scripts/probe_eval_phases.py; docs/PERF_NOTES.md
-        # serving section).
-        params = jax.device_put(params)
+        # Commit HOST-NUMPY leaves to device ONCE.  fold_bn_into_conv
+        # (and checkpoint loading) leave host-numpy leaves, and jit
+        # re-uploads host-numpy arguments on EVERY call — a silent
+        # full-param-tree (~240 MB for R101) host→device transfer per
+        # eval step (measured ~4.5 s of the 5.26 s/sample e2e cost;
+        # docs/PERF_NOTES.md serving section).  Leaves that are already
+        # jax.Arrays stay untouched: under multi-host training they are
+        # GLOBAL (non-addressable) arrays a plain device_put rejects
+        # (found by tests/test_distributed.py's mid-training eval hook).
+        def _commit(tree):
+            return jax.tree_util.tree_map(
+                lambda l: l if isinstance(l, jax.Array)
+                else jnp.asarray(l), tree)
+
+        params = _commit(params)
         if batch_stats:
-            batch_stats = jax.device_put(batch_stats)
+            batch_stats = _commit(batch_stats)
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     my_indices = np.arange(n)[pi::pc]
