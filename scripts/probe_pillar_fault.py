@@ -77,7 +77,7 @@ def run_piece(piece):
         value, loc, wgt = _enc_inputs(rng, 1)
         c = HEADS * D
         out = 0.0
-        for lv in (0, 3):
+        for lv in (0, 1, 2, 3):
             hq, wq = SHAPES[0]
             hv, wv = SHAPES[lv]
             bnd = min(BAND, hv)
