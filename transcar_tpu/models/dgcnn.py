@@ -147,9 +147,12 @@ class DGCNNAttn(nn.Module):
             aff = jnp.sqrt(jnp.maximum(d2, 0.0))
             k = min(self.k, x.shape[1])
             _, idx = jax.lax.top_k(aff, k)                   # [B, N, K]
-            neigh = jnp.take_along_axis(
-                x[:, None, :, :].repeat(x.shape[1], 1), idx[..., None],
-                axis=2)                                      # [B, N, K, C]
+            # gather neighbor ROWS directly: an earlier
+            # repeat+take_along_axis form materialized [N, N, C] (every
+            # i-slice identical) and its backward scatter-add into that
+            # 92 MB buffer faulted the v5e worker (the LiDAR train-step
+            # crash, bisected by scripts/probe_pillar_fault.py)
+            neigh = jax.vmap(lambda xb, ib: xb[ib])(x, idx)  # [B, N, K, C]
             center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
             return jnp.concatenate([neigh, center], axis=-1)
 

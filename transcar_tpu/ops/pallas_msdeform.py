@@ -77,39 +77,52 @@ def _enc_kernel(v_ref, omp_ref, o_ref, *, hq, wq, hv, wv, c, d, heads,
     r = pl.program_id(1)
     center = ((2 * r + 1) * hv) // (2 * hq)       # scaled row center
     s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
-    xband = v_ref[0, :, pl.ds(pl.multiple_of(s * c, c), band * c)]
 
-    th = npts * wq
+    tp = npts * wq
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
-    out = jnp.zeros((wq, c), jnp.float32)
-    for h in range(heads):
-        omp = omp_ref[0, 0, h * th:(h + 1) * th]   # [th, 8] static rows
+
+    # ROLLED loops (fori_loop), mirroring the backward kernels: the
+    # unrolled heads×band form sat AT the 64 MB scoped-VMEM edge at
+    # band 16 and over it at the training band 24 (70.6 MB measured in
+    # the AD program) — the compile-time check is schedule-dependent
+    # and a runtime stack overflow faults the worker.  wy columns are
+    # recomputed per band row from scalar b; the value band row is
+    # sliced from the ref at (s+b)·C (128-aligned).
+    def head_body(h, out):
+        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(h * tp, 8), tp)]
         y0r = omp[:, 0:1].astype(jnp.int32) - s
         fy = omp[:, 1:2]
         x0 = omp[:, 2:3].astype(jnp.int32)
         fx = omp[:, 3:4]
         aw = omp[:, 4:5]
 
-        jj = jax.lax.broadcasted_iota(jnp.int32, (th, wv), 1)
-        wx = (jnp.where(jj == x0, 1.0 - fx, 0.0)
-              + jnp.where(jj == x0 + 1, fx, 0.0)) * aw     # [th, W_v]
-        xr = jax.lax.dot_general(
-            wx.astype(v_ref.dtype), xband,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [th, B·C]
-        bb = jax.lax.broadcasted_iota(jnp.int32, (th, band), 1)
-        wy = (jnp.where(bb == y0r, 1.0 - fy, 0.0)
-              + jnp.where(bb == y0r + 1, fy, 0.0))         # [th, B]
-        acc = jnp.zeros((th, c), jnp.float32)
-        for b in range(band):                    # static 256-aligned
-            acc = acc + wy[:, b:b + 1] * xr[:, b * c:(b + 1) * c]
+        jj = jax.lax.broadcasted_iota(jnp.int32, (tp, wv), 1)
+        wx = ((jnp.where(jj == x0, 1.0 - fx, 0.0)
+               + jnp.where(jj == x0 + 1, fx, 0.0)) * aw)   # [tp, W_v]
+        wx = wx.astype(v_ref.dtype)
+
+        def band_body(b, acc):
+            xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
+            xr_b = jax.lax.dot_general(
+                wx, xb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [tp, C]
+            wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
+                    + jnp.where(y0r == b - 1, fy, 0.0))    # [tp, 1]
+            return acc + wy_b * xr_b
+
+        acc = jax.lax.fori_loop(0, band, band_body,
+                                jnp.zeros((tp, c), jnp.float32))
         outh = jnp.zeros((wq, c), jnp.float32)
         for p in range(npts):                    # point sum, static rows
             outh = outh + acc[p * wq:(p + 1) * wq]
         # head h owns channels [h·d, (h+1)·d) — full-lane mask select
         # (sub-128 static lane slices are layout-hostile on Mosaic)
         keep = jnp.logical_and(lane >= h * d, lane < (h + 1) * d)
-        out = out + jnp.where(keep, outh, 0.0)
+        return out + jnp.where(keep, outh, 0.0)
+
+    out = jax.lax.fori_loop(0, heads, head_body,
+                            jnp.zeros((wq, c), jnp.float32))
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
