@@ -171,8 +171,12 @@ def main():
     if "--piece" in sys.argv:
         run_piece(sys.argv[sys.argv.index("--piece") + 1])
         return
+    pieces = PIECES
+    if "--pieces" in sys.argv:
+        pieces = tuple(
+            sys.argv[sys.argv.index("--pieces") + 1].split(","))
     import bench as _bench
-    for piece in PIECES:
+    for piece in pieces:
         _bench._wait_for_backend(max_tries=6, sleep_s=120.0)
         print(f"=== piece {piece} ===", flush=True)
         rc = subprocess.run(
