@@ -70,7 +70,8 @@ def run_piece(piece):
             jnp.asarray(rng.integers(0, g, (1, v)).astype(np.int32))
             for g in (gz, gy, gx)], axis=-1)
         count = jnp.full((1,), int(v * 0.9), jnp.int32)
-        mod = SparseEncoder(sparse_shape=tuple(cfg.model.sparse_shape))
+        mod = SparseEncoder(sparse_shape=tuple(cfg.model.sparse_shape),
+                            impl=cfg.model.sparse_impl)
         var = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats, coords,
                                        count, train=True))()
 

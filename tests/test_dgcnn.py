@@ -251,3 +251,26 @@ def test_lidar_bf16_backbone_close_to_fp32():
         assert np.max(np.abs(a - b)) < 0.03 * (1 + scale), k
     assert not np.array_equal(np.asarray(outs[None]["all_cls_scores"]),
                               np.asarray(outs["bfloat16"]["all_cls_scores"]))
+
+
+def test_lidar_encoder_band_agrees_between_train_and_eval(monkeypatch):
+    """The banded encoder kernel's vertical band must key on the CONFIG,
+    never on build_model(training=...): every ObjDGCNN preset trains the
+    encoder (no freeze list), so an eval forward at a narrower band would
+    silently zero taps that trained offsets legitimately reach — the same
+    invariant resolve_dcn_band enforces for the camera DCN band."""
+    from transcar_tpu.core.config import get_preset
+    from transcar_tpu.models import detector as det
+
+    # simulate the TPU resolution (CPU meshes resolve to the exact XLA
+    # gather, where the band is unused)
+    monkeypatch.setattr(det.jax, "default_backend", lambda: "tpu")
+    cfg = get_preset("objdgcnn_pillar")
+    m_train = det.build_model(cfg, training=True)
+    m_eval = det.build_model(cfg, training=False)
+    assert m_train.encoder_msdeform_impl == "pallas"
+    assert m_train.encoder_band == m_eval.encoder_band
+    # the override knob plumbs through unchanged
+    cfg2 = get_preset("objdgcnn_pillar",
+                      {"model.encoder_band_rows": 32})
+    assert det.build_model(cfg2, training=False).encoder_band == 32

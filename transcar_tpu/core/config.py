@@ -196,6 +196,14 @@ class ModelConfig:
     # pads the dense grid 3.1× at stage-0 shapes, a 24.5 GB HBM OOM) |
     # "dense" (masked MXU convs, exact spconv site sets — small grids)
     sparse_impl: str = "gather"
+    # vertical band (rows) for the banded Pallas BEV-encoder deformable
+    # attention (ops/pallas_msdeform.py).  0 = auto: 24 on the TPU
+    # pallas path — the ObjDGCNN recipe trains the encoder in every
+    # preset (no freeze list, unlike the camera trunk), so the band is
+    # config-keyed like the camera DCN band and MUST NOT differ between
+    # a config's train and eval forwards (trained offsets legitimately
+    # reach taps a narrower eval band would silently zero)
+    encoder_band_rows: int = 0
 
 
 @dataclass(frozen=True)

@@ -202,11 +202,14 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         # training (custom-VJP banded backward, ops/pallas_msdeform.py;
         # the XLA encoder backward OOMs at 59.7 GB and chunked
         # constructs fault the v5e worker).  CPU meshes keep the
-        # autodiff-able XLA gather.  Training widens the vertical band
-        # (trained offsets can drift past the mmcv-init spread — same
-        # policy as the camera DCN band auto-widen below).
+        # autodiff-able XLA gather.  The band keys on the CONFIG, not
+        # ``training`` — every ObjDGCNN preset trains the encoder, so
+        # eval must sample the same taps the training forward used
+        # (same invariant as :func:`resolve_dcn_band`).
         msd = "pallas" if jax.default_backend() == "tpu" else "xla"
-        enc_band = 24 if (training and msd == "pallas") else 16
+        enc_band = m.encoder_band_rows
+        if enc_band <= 0:
+            enc_band = 24 if msd == "pallas" else 16
         return ObjDGCNN(
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,

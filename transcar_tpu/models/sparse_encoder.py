@@ -183,7 +183,11 @@ class SparseEncoder(nn.Module):
     encoder_channels: Tuple[Tuple[int, ...], ...] = (
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     bev_channels: int = 256
-    impl: str = "dense"
+    impl: str = "gather"   # matches ModelConfig.sparse_impl: the dense
+                           # formulation OOMs at the class's own default
+                           # full-res grid (XLA pads f32[41,1024,1024,16]
+                           # 3.1x -> 24.5 GB); pass impl="dense" for
+                           # small grids / CPU oracles
     compute_dtype: Optional[str] = None    # dense-impl conv compute dtype
 
     @nn.compact

@@ -28,8 +28,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
       sampling_locations: [B, Q, H, L, P, 2] in [0, 1] per level (x, y).
       attention_weights: [B, Q, H, L, P] (already softmaxed over L·P).
       query_chunk: when > 0 and Q > query_chunk, process queries in
-        ``lax.map`` chunks of this size (zero-padded to a multiple) —
-        EXACT, trades one materialized [B·H, Q·P, D] gather (4+ GB for
+        sequential chunks of this size (an unrolled Python loop — see the
+        in-body comment for why not ``lax.map``/``scan`` — with a ragged
+        final chunk, no padding) — EXACT, trades one materialized
+        [B·H, Q·P, D] gather (4+ GB for
         the encoder's Q = Σ H_l·W_l self-attention at full BEV
         resolution — an HBM-OOM at batch 2 on v5e) for sequential
         ~chunk-sized gathers.  0 = single pass (decoder-sized Q).
