@@ -55,6 +55,117 @@ def _wait_for_backend(max_tries: int = 6, sleep_s: float = 150.0) -> None:
         time.sleep(sleep_s)
 
 
+def _bench_loop(fn, sync, iters, warmup=2):
+    for _ in range(warmup):
+        sync(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _family_rows():
+    """Model-family throughput rows (VoVNet infer, ObjDGCNN pillar/voxel
+    infer + train) so the round artifact reflects — and protects — the
+    perf work beyond the flagship config.  Same protocol as the flagship
+    line (reference tools/analysis_tools/benchmark.py:64-91: warmup,
+    synchronized timing).  Each row is independent: a failure records an
+    error string instead of killing the bench.  TRANSCAR_BENCH_FAMILY=0
+    skips the block (flagship-only, the pre-round-5 behavior)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from transcar_tpu.core.config import get_preset
+    from transcar_tpu.models.detector import build_model
+
+    if os.environ.get("TRANSCAR_BENCH_FAMILY", "1") == "0":
+        return {}
+    rows = {}
+
+    def vovnet(b):
+        cfg = get_preset("transcar_vovnet_trainval")
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        batch = ge._fake_batch(rng, b, 6, 928, 1600,
+                               cfg.model.head.num_radar_tokens)
+        args = tuple(jnp.asarray(batch[k]) for k in
+                     ("images", "lidar2img", "radar_tokens"))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+        infer = jax.jit(model.apply)
+        dt = _bench_loop(
+            lambda: infer(params, *args),
+            lambda o: float(jnp.sum(o["all_bbox_preds"][..., 0])),
+            iters=10)
+        return b / dt
+
+    def lidar(preset, part, b):
+        cfg = get_preset(preset)
+        rng = np.random.default_rng(0)
+        n_max = cfg.data.max_points
+        pc = cfg.model.head.pc_range
+        pts = np.zeros((b, n_max, 5), np.float32)
+        pts[:, :, 0] = rng.uniform(pc[0], pc[3], (b, n_max))
+        pts[:, :, 1] = rng.uniform(pc[1], pc[4], (b, n_max))
+        pts[:, :, 2] = rng.uniform(pc[2], pc[5], (b, n_max))
+        pts[:, :, 3] = rng.uniform(0, 255, (b, n_max))
+        pts[:, :, 4] = rng.uniform(0, 0.45, (b, n_max))
+        num = np.full((b,), int(n_max * 0.9), np.int32)
+        if part == "infer":
+            model = build_model(cfg)
+            var = jax.device_put(jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(num)))
+            infer = jax.jit(model.apply)
+            dt = _bench_loop(
+                lambda: infer(var, jnp.asarray(pts), jnp.asarray(num)),
+                lambda o: float(jnp.sum(o["all_bbox_preds"][..., 0])),
+                iters=10)
+            return b / dt
+        from transcar_tpu.train.step import init_state, make_train_step
+        model = build_model(cfg, training=True)
+        mg = cfg.data.max_gt_boxes
+        gt = np.ones((b, mg, 9), np.float32)
+        gt[:, :, :2] = rng.uniform(-40, 40, (b, mg, 2))
+        gt[:, :, 3:6] = rng.uniform(0.5, 6, (b, mg, 3))
+        batch = {"points": pts, "num_points": num, "gt_boxes": gt,
+                 "gt_labels": rng.integers(0, 10, (b, mg)).astype(np.int32),
+                 "num_gt": np.full((b,), 9, np.int32)}
+        state, tx = init_state(cfg, model, batch, total_steps=100,
+                               rng=jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx)
+        batch_j = jax.device_put(batch)
+        state = jax.device_put(state)
+        box = {"s": state}
+
+        def one():
+            box["s"], losses = step(box["s"], batch_j, jax.random.PRNGKey(1))
+            return losses
+
+        dt = _bench_loop(one, lambda o: float(o["total"]), iters=5,
+                         warmup=1)
+        return b / dt
+
+    probes = {
+        "vovnet_bs1_infer": lambda: vovnet(1),
+        "vovnet_bs4_infer": lambda: vovnet(4),
+        "pillar_bs1_infer": lambda: lidar("objdgcnn_pillar", "infer", 1),
+        "voxel_bs1_infer": lambda: lidar("objdgcnn_voxel", "infer", 1),
+        "pillar_bs1_train": lambda: lidar("objdgcnn_pillar", "train", 1),
+        "voxel_bs1_train": lambda: lidar("objdgcnn_voxel", "train", 1),
+    }
+    for name, probe in probes.items():
+        try:
+            rows[name] = round(probe(), 3)
+        except Exception as e:  # noqa: BLE001 — rows are independent
+            rows[name] = f"error: {type(e).__name__}"
+            print(f"bench family row {name} failed: {e}", file=sys.stderr)
+    return rows
+
+
 def main():
     _wait_for_backend()
 
@@ -145,6 +256,9 @@ def main():
         rec["tflops_per_sample"] = round(flops_per_sample / 1e12, 3)
     if mfu:
         rec["mfu_pct"] = round(mfu * 100.0, 2)
+    family = _family_rows()
+    if family:
+        rec["family"] = family
     print(json.dumps(rec))
 
 

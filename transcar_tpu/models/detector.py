@@ -210,6 +210,20 @@ def build_model(cfg: TransCARConfig, training: bool = False):
         enc_band = m.encoder_band_rows
         if enc_band <= 0:
             enc_band = 24 if msd == "pallas" else 16
+        else:
+            # the kernel clips band starts to [0, H_v - band] per level —
+            # a band wider than the SMALLEST level's rows makes that
+            # upper bound negative (out-of-range slice); odd values break
+            # the band/2 centering.  (On the xla path band is unused —
+            # exact full gather — but a config invalid for the TPU kernel
+            # should fail everywhere, not only when it reaches a chip.)
+            h_min = m.bev_hw[0] >> (m.head.num_levels - 1)
+            if enc_band % 2 or enc_band < 4 or enc_band > h_min:
+                raise ValueError(
+                    f"model.encoder_band_rows={enc_band} must be an even "
+                    f"value in [4, {h_min}] (smallest encoder level's "
+                    f"rows, bev_hw[0]={m.bev_hw[0]} over "
+                    f"{m.head.num_levels} levels)")
         return ObjDGCNN(
             m.head, encoder=m.lidar_encoder, voxel_size=m.voxel_size,
             max_points=m.max_points_per_voxel, max_voxels=m.max_voxels,
