@@ -10,9 +10,13 @@ definition (nuScenes CVPR 2019 paper §3.1; devkit
 ``eval/detection/{algo,data_classes}.py`` behavior, re-derived — no
 devkit code is imported or copied):
 
-  * class-range filtering on ego-frame XY distance + removal of GT boxes
-    with zero lidar+radar points (the devkit's bike-rack map filter is
-    the one documented divergence — it requires the raw map tables),
+  * class-range filtering on ego-frame XY distance, removal of GT boxes
+    with zero lidar+radar points, and the bike-rack filter (bicycle /
+    motorcycle boxes whose center lies inside a ``bicycle_rack``
+    annotation box are dropped from GT and predictions alike) — the
+    rack boxes come from the infos pkl itself: the converter keeps
+    every sample annotation and unmappable category names pass through
+    raw, so no devkit, map table, or raw dataset is needed,
   * per-class greedy matching of globally score-sorted predictions to
     the nearest unmatched same-class GT by 2D center distance, at
     thresholds 0.5 / 1 / 2 / 4 m,
@@ -199,16 +203,71 @@ def preds_from_results(results: Dict[str, List[Dict]],
     return preds
 
 
+def _center_in_box(p: np.ndarray, translation: np.ndarray,
+                   size_wlh: np.ndarray, yaw: float) -> bool:
+    """Devkit ``points_in_box`` for a single point: local coordinates
+    along the box axes within the (inclusive) extents.  nuScenes wlh:
+    width spans the local y axis, length the local x axis."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    d = np.asarray(p, np.float64) - np.asarray(translation, np.float64)
+    lx = c * d[0] + s * d[1]
+    ly = -s * d[0] + c * d[1]
+    w, l, h = (float(size_wlh[0]), float(size_wlh[1]),
+               float(size_wlh[2]))
+    return (abs(lx) <= l / 2.0 and abs(ly) <= w / 2.0
+            and abs(float(d[2])) <= h / 2.0)
+
+
+def bikerack_boxes_from_infos(infos: Sequence[Dict],
+                              ) -> Dict[str, List[Dict]]:
+    """Global-frame ``static_object.bicycle_rack`` boxes per sample
+    token, for :func:`filter_eval_boxes` (devkit
+    ``eval/detection/loaders.py filter_eval_boxes`` builds the same
+    boxes from ``nusc.get('sample_annotation', ...)``; here they ride
+    the infos pkl — the converter stores EVERY sample annotation and
+    leaves unmappable category names raw, cli/create_data.py:135-139).
+    One knowing approximation: the pkl keeps yaw only, the devkit the
+    full annotation quaternion — nuScenes boxes carry no pitch/roll, so
+    the center-in-box test is unchanged."""
+    racks: Dict[str, List[Dict]] = {}
+    for info in infos:
+        names = list(info.get("gt_names", []))
+        rows = [j for j, n in enumerate(names)
+                if n == "static_object.bicycle_rack"]
+        if not rows:
+            continue
+        boxes = np.asarray(info["gt_boxes"], np.float64).reshape(-1, 7)
+        out = []
+        for j in rows:
+            center, yaw, _, _ = _box_to_global(
+                info, boxes[j, :3], boxes[j, 3:6], boxes[j, 6],
+                (0.0, 0.0))
+            out.append({"translation": center,
+                        "size": boxes[j, 3:6].copy(), "yaw": yaw})
+        racks[info["token"]] = out
+    return racks
+
+
 def filter_eval_boxes(boxes: Dict[str, List[Dict]],
                       class_range: Dict[str, float] = CLASS_RANGE,
+                      bikeracks: Optional[Dict[str, List[Dict]]] = None,
                       ) -> Dict[str, List[Dict]]:
-    """Class-range + zero-point filtering (devkit ``filter_eval_boxes``,
-    minus the map-based bike-rack filter — documented divergence)."""
+    """Class-range + zero-point + bike-rack filtering, in the devkit's
+    order (``filter_eval_boxes``: distance, then zero points, then
+    bicycle/motorcycle boxes whose center sits inside a bicycle_rack
+    annotation box — applied to predictions and GT alike)."""
     out = {}
     for token, bl in boxes.items():
         kept = [b for b in bl
                 if b["ego_dist"] < class_range[b["detection_name"]]
                 and b["num_pts"] != 0]
+        racks = (bikeracks or {}).get(token)
+        if racks:
+            kept = [b for b in kept
+                    if b["detection_name"] not in ("bicycle", "motorcycle")
+                    or not any(_center_in_box(b["translation"],
+                                              r["translation"], r["size"],
+                                              r["yaw"]) for r in racks)]
         out[token] = kept
     return out
 
@@ -330,9 +389,10 @@ def evaluate_detections(results: Dict[str, List[Dict]],
                         dist_ths: Sequence[float] = DIST_THS,
                         ) -> Dict[str, object]:
     """Full detection eval → devkit-shaped metrics summary dict."""
-    gts = filter_eval_boxes(gt_from_infos(infos), class_range)
+    racks = bikerack_boxes_from_infos(infos)
+    gts = filter_eval_boxes(gt_from_infos(infos), class_range, racks)
     preds = filter_eval_boxes(preds_from_results(results, infos),
-                              class_range)
+                              class_range, racks)
 
     label_aps: Dict[str, Dict[float, float]] = {}
     label_tp: Dict[str, Dict[str, float]] = {}

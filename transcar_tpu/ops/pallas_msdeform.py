@@ -166,18 +166,28 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
-                     c, d, heads, npts, band):
+def _bwd_taps_kernel(v_ref, *refs, hq, wq, hv, wv,
+                     c, d, heads, npts, band, window_m=0):
     """K1 — one query row: per-tap (d_attn, d_fx, d_fy, 0) lanes.
 
-    v_ref:    [1, W_v, H_v·C] transposed value (bf16)
+    v_ref:    value rows — whole level [1, W_v, H_v·C] (window_m == 0)
+              or the first of two m-row banded chunks (window_m = m,
+              with vb_ref the second; same two-chunk window as the
+              forward `_enc_kernel`, and for the same reason: whole
+              revisited levels block the batch from riding the grid)
     omp_ref:  [1, 1, heads·P·W_q, 8] forward per-tap precompute
     g_ref:    [1, 1, W_q, C] output grad rows (fp32)
     dofs_ref: [1, 1, heads·P·W_q, 4]
     """
+    if window_m:
+        vb_ref, omp_ref, g_ref, dofs_ref = refs
+    else:
+        vb_ref = None
+        omp_ref, g_ref, dofs_ref = refs
     r = pl.program_id(1)
-    center = ((2 * r + 1) * hv) // (2 * hq)
-    s = jnp.clip(center - (band // 2 - 1), 0, hv - band)
+    s = _enc_band_start(r, hq, hv, band)
+    if window_m:
+        rel0 = s - _window_chunk(r, hq, hv, band, window_m) * window_m
 
     tp = npts * wq
     g_row = g_ref[0, 0].astype(jnp.float32)              # [W_q, C]
@@ -207,7 +217,15 @@ def _bwd_taps_kernel(v_ref, omp_ref, g_ref, dofs_ref, *, hq, wq, hv, wv,
 
         def band_body(b, carry):
             snk, ydy, ydx = carry
-            xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
+            if window_m:
+                rel = rel0 + b
+                xa = v_ref[0, :, pl.ds(pl.multiple_of(
+                    jnp.clip(rel, 0, window_m - 1) * c, c), c)]
+                xbk = vb_ref[0, :, pl.ds(pl.multiple_of(
+                    jnp.clip(rel - window_m, 0, window_m - 1) * c, c), c)]
+                xb = jnp.where(rel < window_m, xa, xbk)
+            else:
+                xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
             both = jax.lax.dot_general(
                 wxc, xb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -420,18 +438,40 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
 
 def _bwd_taps_pair(vt, omp, g, hq, wq, hv, wv, heads, d, npts, band,
                    interpret):
-    """K1 driver for one sample: → dofs [1, H_q, heads·P·W_q, 4]."""
+    """K1 driver, whole batch: → dofs [B, H_q, heads·P·W_q, 4].
+
+    Batch rides the grid's slow axis; the value blocks use the same
+    two-chunk band window as the forward (whole revisited levels would
+    double-buffer ~the full level per batch step — the scoped-VMEM OOM
+    that used to force per-sample calls)."""
+    b = vt.shape[0]
     c = heads * d
     th = heads * npts * wq
+    m = _window_rows(hv, band)
     kern = functools.partial(_bwd_taps_kernel, hq=hq, wq=wq, hv=hv,
                              wv=wv, c=c, d=d, heads=heads, npts=npts,
-                             band=band)
+                             band=band, window_m=m)
+    if m:
+        vspecs = [
+            pl.BlockSpec((1, wv, m * c),
+                         lambda bi, r: (bi, 0,
+                                        _window_chunk(r, hq, hv, band, m)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wv, m * c),
+                         lambda bi, r: (bi, 0,
+                                        _window_chunk(r, hq, hv, band, m)
+                                        + 1),
+                         memory_space=pltpu.VMEM),
+        ]
+        vals = (vt, vt)
+    else:
+        vspecs = [pl.BlockSpec((1, wv, hv * c), lambda bi, r: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        vals = (vt,)
     return pl.pallas_call(
         kern,
-        grid=(1, hq),
-        in_specs=[
-            pl.BlockSpec((1, wv, hv * c), lambda bi, r: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(b, hq),
+        in_specs=vspecs + [
             pl.BlockSpec((1, 1, th, 8), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wq, c), lambda bi, r: (bi, r, 0, 0),
@@ -439,18 +479,20 @@ def _bwd_taps_pair(vt, omp, g, hq, wq, hv, wv, heads, d, npts, band,
         ],
         out_specs=pl.BlockSpec((1, 1, th, 4), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, hq, th, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hq, th, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(vt, omp, g)
+    )(*vals, omp, g)
 
 
 def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
                     interpret):
-    """K2 driver for one sample: → d_value [1, H_v, W_v, C]."""
+    """K2 driver, whole batch: → d_value [B, H_v, W_v, C].  Every K2
+    block is small (per-(v,k) tap/grad slices, a per-v output row), so
+    the batch rides the grid with no windowing needed."""
+    b = omp.shape[0]
     c = heads * d
-    th = heads * npts * wq
     qg = min(8, hq)
     nblocks = hq // qg
     width_rows = 2 * band * hq // hv + 2 * qg + 2
@@ -461,13 +503,13 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
     # slice starts are provably aligned (padded taps carry aw = 0).
     tp = npts * wq
     tp_pad = -(-tp // 128) * 128
-    omp5 = omp.reshape(1, hq, heads, tp, 8)
+    omp5 = omp.reshape(b, hq, heads, tp, 8)
     omp5 = jnp.pad(omp5, ((0, 0), (0, 0), (0, 0), (0, tp_pad - tp),
                           (0, 0)))
     ompt = omp5.transpose(0, 4, 1, 2, 3).reshape(
-        1, 8, nblocks, qg * heads * tp_pad)
-    ompt = ompt.transpose(0, 2, 1, 3)    # [1, nblocks, 8, qg·H·tp_pad]
-    gb = g.reshape(1, nblocks, qg * wq, c)
+        b, 8, nblocks, qg * heads * tp_pad)
+    ompt = ompt.transpose(0, 2, 1, 3)    # [B, nblocks, 8, qg·H·tp_pad]
+    gb = g.reshape(b, nblocks, qg * wq, c)
     kern = functools.partial(_bwd_value_kernel, hq=hq, wq=wq, hv=hv,
                              wv=wv, c=c, d=d, heads=heads, npts=npts,
                              band=band, qg=qg, nq=nq)
@@ -477,7 +519,7 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
 
     return pl.pallas_call(
         kern,
-        grid=(1, hv, nq),
+        grid=(b, hv, nq),
         in_specs=[
             pl.BlockSpec((1, 1, 8, qg * heads * tp_pad), _qmap,
                          memory_space=pltpu.VMEM),
@@ -487,7 +529,7 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
         out_specs=pl.BlockSpec((1, 1, wv, c),
                                lambda bi, v, k: (bi, v, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, hv, wv, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hv, wv, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -496,8 +538,12 @@ def _bwd_value_pair(omp, g, hq, wq, hv, wv, heads, d, npts, band,
 
 def _encoder_bwd_impl(value, spatial_shapes, sampling_locations,
                       attention_weights, band, interpret, g):
-    """Banded backward: per (sample, query level, value level) pair run
-    K1 (per-tap d_attn/d_loc) and K2 (d_value) and reassemble."""
+    """Banded backward: per (query level, value level) pair run K1
+    (per-tap d_attn/d_loc) and K2 (d_value) over the whole batch and
+    reassemble.  (Round 4 looped per sample because K1's whole-level
+    value blocks couldn't share VMEM across batch grid steps; the
+    two-chunk band window removed that, so the batch rides the pallas
+    grid here exactly as in the forward.)"""
     b, s, heads, d = value.shape
     _, q, _, l, npts, _ = sampling_locations.shape
     c = heads * d
@@ -508,49 +554,45 @@ def _encoder_bwd_impl(value, spatial_shapes, sampling_locations,
         starts.append(acc)
         acc += hl * wl
 
-    d_val_samples, d_loc_samples, d_aw_samples = [], [], []
-    for i in range(b):
-        d_val_lv = [None] * l
-        d_loc_lq, d_aw_lq = [], []
-        for lq, (hq, wq) in enumerate(spatial_shapes):
-            q0 = starts[lq]
-            nl = hq * wq
-            g_lq = g[i:i + 1, q0:q0 + nl].reshape(1, hq, wq, c)
-            d_loc_parts, d_aw_parts = [], []
-            for lv, (hv, wv) in enumerate(spatial_shapes):
-                bnd = min(band, hv)
-                vl = vt[i:i + 1, starts[lv]:starts[lv] + hv * wv]
-                vl_t = jnp.transpose(
-                    vl.reshape(1, hv, wv, c), (0, 2, 1, 3)
-                ).reshape(1, wv, hv * c)
-                omp = _omp_precompute(
-                    sampling_locations[i:i + 1, q0:q0 + nl, :, lv],
-                    attention_weights[i:i + 1, q0:q0 + nl, :, lv],
-                    hq, wq, hv, wv)
-                dofs = _bwd_taps_pair(vl_t, omp, g_lq, hq, wq, hv, wv,
-                                      heads, d, npts, bnd, interpret)
-                dofs = dofs.reshape(1, hq, heads, npts, wq, 4)
-                dofs = dofs.transpose(0, 1, 4, 2, 3, 5)   # [1,Hq,Wq,H,P,4]
-                dofs = dofs.reshape(1, nl, heads, npts, 4)
-                d_aw_parts.append(dofs[..., 0])
-                d_loc_parts.append(jnp.stack(
-                    [dofs[..., 1] * wv, dofs[..., 2] * hv], axis=-1))
-                dv = _bwd_value_pair(omp, g_lq, hq, wq, hv, wv, heads,
-                                     d, npts, bnd, interpret)
-                d_val_lv[lv] = dv if d_val_lv[lv] is None \
-                    else d_val_lv[lv] + dv
-            d_aw_lq.append(jnp.stack(d_aw_parts, axis=3))  # [1,nl,H,L,P]
-            d_loc_lq.append(jnp.stack(d_loc_parts, axis=3))
-        d_aw_samples.append(jnp.concatenate(d_aw_lq, axis=1))
-        d_loc_samples.append(jnp.concatenate(d_loc_lq, axis=1))
-        d_val_samples.append(jnp.concatenate(
-            [d_val_lv[lv].reshape(1, hl * wl, heads, d)
-             for lv, (hl, wl) in enumerate(spatial_shapes)], axis=1))
+    d_val_lv = [None] * l
+    d_loc_lq, d_aw_lq = [], []
+    for lq, (hq, wq) in enumerate(spatial_shapes):
+        q0 = starts[lq]
+        nl = hq * wq
+        g_lq = g[:, q0:q0 + nl].reshape(b, hq, wq, c)
+        d_loc_parts, d_aw_parts = [], []
+        for lv, (hv, wv) in enumerate(spatial_shapes):
+            bnd = min(band, hv)
+            vl = vt[:, starts[lv]:starts[lv] + hv * wv]
+            vl_t = jnp.transpose(
+                vl.reshape(b, hv, wv, c), (0, 2, 1, 3)
+            ).reshape(b, wv, hv * c)
+            omp = _omp_precompute(
+                sampling_locations[:, q0:q0 + nl, :, lv],
+                attention_weights[:, q0:q0 + nl, :, lv],
+                hq, wq, hv, wv)
+            dofs = _bwd_taps_pair(vl_t, omp, g_lq, hq, wq, hv, wv,
+                                  heads, d, npts, bnd, interpret)
+            dofs = dofs.reshape(b, hq, heads, npts, wq, 4)
+            dofs = dofs.transpose(0, 1, 4, 2, 3, 5)   # [B,Hq,Wq,H,P,4]
+            dofs = dofs.reshape(b, nl, heads, npts, 4)
+            d_aw_parts.append(dofs[..., 0])
+            d_loc_parts.append(jnp.stack(
+                [dofs[..., 1] * wv, dofs[..., 2] * hv], axis=-1))
+            dv = _bwd_value_pair(omp, g_lq, hq, wq, hv, wv, heads,
+                                 d, npts, bnd, interpret)
+            d_val_lv[lv] = dv if d_val_lv[lv] is None \
+                else d_val_lv[lv] + dv
+        d_aw_lq.append(jnp.stack(d_aw_parts, axis=3))  # [B,nl,H,L,P]
+        d_loc_lq.append(jnp.stack(d_loc_parts, axis=3))
 
-    d_value = jnp.concatenate(d_val_samples, axis=0).astype(value.dtype)
-    d_loc = jnp.concatenate(d_loc_samples, axis=0).astype(
+    d_value = jnp.concatenate(
+        [d_val_lv[lv].reshape(b, hl * wl, heads, d)
+         for lv, (hl, wl) in enumerate(spatial_shapes)],
+        axis=1).astype(value.dtype)
+    d_loc = jnp.concatenate(d_loc_lq, axis=1).astype(
         sampling_locations.dtype)
-    d_aw = jnp.concatenate(d_aw_samples, axis=0).astype(
+    d_aw = jnp.concatenate(d_aw_lq, axis=1).astype(
         attention_weights.dtype)
     return d_value, d_loc, d_aw
 
