@@ -106,6 +106,34 @@ def test_lidar_train_step_on_mesh_matches_single_device():
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+def test_voxel_eval_step_on_mesh_matches_single_device():
+    """Same bar for the VOXEL encoder variant (sparse 3D encoder +
+    SECOND backbone — a different layout again: per-sample voxel tables
+    and batch-stats-free sparse convs must shard cleanly)."""
+    cfg = get_preset("objdgcnn_voxel", {
+        **TINY,
+        "model.sparse_shape": [11, 64, 64],
+        "model.voxel_size": [1.6, 1.6, 0.8],
+    })
+    model = build_model(cfg)
+    rng = np.random.default_rng(2)
+    batch = _lidar_batch(rng, 4, cfg)
+    state, _ = init_state(cfg, model, batch, total_steps=10,
+                          rng=jax.random.PRNGKey(0))
+
+    ref_step = make_eval_step(cfg, model)
+    batch_j = jax.tree_util.tree_map(jnp.asarray, batch)
+    ref = ref_step(state.params, batch_j, state.batch_stats)
+
+    mesh = make_mesh(shape=(4,), devices=jax.devices()[:4])
+    eval_step = make_eval_step(cfg, model, mesh=mesh)
+    out = eval_step(state.params, shard_batch(batch, mesh),
+                    state.batch_stats)
+    for k in ("boxes", "scores", "labels", "valid"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_lidar_eval_step_on_mesh_matches_single_device():
     """make_eval_step over a dp4 mesh with a points batch (+ running BN
     stats riding as the third argument) decodes identically to the

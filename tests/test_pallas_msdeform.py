@@ -111,6 +111,30 @@ def test_horizontal_offsets_unbounded_and_edges_exact():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_window_chunks_always_cover_the_band():
+    """The two-chunk value window must cover every query row's band at
+    every (H_q, H_v) pairing the model can produce — the BlockSpec index
+    maps and the kernel body both lean on this invariant."""
+    from transcar_tpu.ops.pallas_msdeform import (_enc_band_start,
+                                                  _window_chunk,
+                                                  _window_rows)
+    for band in (8, 16, 24):
+        for hv in (16, 32, 64, 128, 256, 512):
+            if hv < band:
+                continue
+            m = _window_rows(hv, band)
+            if m == 0:
+                continue
+            assert m >= band and hv % m == 0 and hv >= 2 * m
+            for hq in (16, 32, 64, 128, 256, 512):
+                for r in range(hq):
+                    s = int(_enc_band_start(r, hq, hv, band))
+                    k = int(_window_chunk(r, hq, hv, band, m))
+                    assert 0 <= k <= hv // m - 2, (band, hv, hq, r)
+                    assert k * m <= s, (band, hv, hq, r, s, k)
+                    assert s + band <= (k + 2) * m, (band, hv, hq, r)
+
+
 def test_custom_vjp_grads_match_xla_oracle_in_band():
     """d_value / d_locations / d_weights of the banded custom VJP equal
     jax.grad of the exact XLA oracle wherever every vertical tap stays
