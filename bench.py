@@ -5,6 +5,11 @@ Mirrors the reference's FPS benchmark protocol
 forward(return_loss=False)) at the primary config's real input shape —
 6 cameras × 928×1600 (900×1600 padded ÷32), 900 queries, 1500 radar tokens.
 
+The JSON line's ``family`` block adds VoVNet bs1/bs4 inference and
+ObjDGCNN pillar/voxel inference + training rows (same protocol), so the
+round artifact reflects — and protects against regression — the perf
+work beyond the flagship config.  ``TRANSCAR_BENCH_FAMILY=0`` skips it.
+
 Baseline note: the reference publishes no throughput (SURVEY.md §6).
 ``vs_baseline`` is computed against 2.0 samples/s — the commonly reported
 batch-1 V100 figure for DETR3D-R101-class models, which TransCAR (same
