@@ -162,7 +162,16 @@ def _family_rows():
         "pillar_bs1_train": lambda: lidar("objdgcnn_pillar", "train", 1),
         "voxel_bs1_train": lambda: lidar("objdgcnn_voxel", "train", 1),
     }
+    # time budget: on a cold compile cache the LiDAR train rows alone
+    # are ~15 min of remote compiles each (PERF_NOTES round 4); a bench
+    # artifact that never finishes is worse than one with skipped rows
+    budget_s = float(os.environ.get("TRANSCAR_BENCH_FAMILY_BUDGET_S",
+                                    "4500"))
+    t0 = time.perf_counter()
     for name, probe in probes.items():
+        if time.perf_counter() - t0 > budget_s:
+            rows[name] = "skipped: family time budget"
+            continue
         try:
             rows[name] = round(probe(), 3)
         except Exception as e:  # noqa: BLE001 — rows are independent
