@@ -71,14 +71,18 @@ def _bench_loop(fn, sync, iters, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def _family_rows():
+def _family_rows(tiny: bool = False):
     """Model-family throughput rows (VoVNet infer, ObjDGCNN pillar/voxel
     infer + train) so the round artifact reflects — and protects — the
     perf work beyond the flagship config.  Same protocol as the flagship
     line (reference tools/analysis_tools/benchmark.py:64-91: warmup,
     synchronized timing).  Each row is independent: a failure records an
     error string instead of killing the bench.  TRANSCAR_BENCH_FAMILY=0
-    skips the block (flagship-only, the pre-round-5 behavior)."""
+    skips the block (flagship-only, the pre-round-5 behavior).
+
+    ``tiny=True`` shrinks every config to CPU-smoke shapes and 1
+    iteration — NOT a perf number, it exists so the fast test suite
+    executes this exact code path (tests/test_bench_family.py)."""
     import os
 
     import jax
@@ -91,12 +95,32 @@ def _family_rows():
     if os.environ.get("TRANSCAR_BENCH_FAMILY", "1") == "0":
         return {}
     rows = {}
+    iters_infer, iters_train = (1, 1) if tiny else (10, 5)
+    cam_hw = (64, 96) if tiny else (928, 1600)
+    # tiny camera smoke swaps VoVNet for a small resnet50 (VoVNet-99's
+    # geometry is fixed); the probe CODE PATH (preset → build → init →
+    # jit apply → timed loop) is what the smoke protects
+    cam_tiny = {"model.backbone.kind": "resnet50",
+                "model.backbone.with_dcn": [False] * 4,
+                "model.backbone.compute_dtype": "float32",
+                "model.head.num_query": 16,
+                "model.head.num_decoder_layers": 1,
+                "data.img_hw": list(cam_hw)} if tiny else {}
+    lidar_tiny = {"data.max_points": 600, "data.max_gt_boxes": 4,
+                  "model.max_voxels": 256, "model.bev_hw": [32, 32],
+                  "model.voxel_size": [3.2, 3.2, 8.0],
+                  "model.head.num_query": 16,
+                  "model.head.num_decoder_layers": 1} if tiny else {}
+    lidar_tiny_voxel = {**lidar_tiny,
+                        "model.sparse_shape": [11, 64, 64],
+                        "model.voxel_size": [1.6, 1.6, 0.8],
+                        } if tiny else {}
 
     def vovnet(b):
-        cfg = get_preset("transcar_vovnet_trainval")
+        cfg = get_preset("transcar_vovnet_trainval", dict(cam_tiny))
         model = build_model(cfg)
         rng = np.random.default_rng(0)
-        batch = ge._fake_batch(rng, b, 6, 928, 1600,
+        batch = ge._fake_batch(rng, b, 6, *cam_hw,
                                cfg.model.head.num_radar_tokens)
         args = tuple(jnp.asarray(batch[k]) for k in
                      ("images", "lidar2img", "radar_tokens"))
@@ -105,11 +129,12 @@ def _family_rows():
         dt = _bench_loop(
             lambda: infer(params, *args),
             lambda o: float(jnp.sum(o["all_bbox_preds"][..., 0])),
-            iters=10)
+            iters=iters_infer)
         return b / dt
 
     def lidar(preset, part, b):
-        cfg = get_preset(preset)
+        cfg = get_preset(preset, dict(
+            lidar_tiny_voxel if preset.endswith("voxel") else lidar_tiny))
         rng = np.random.default_rng(0)
         n_max = cfg.data.max_points
         pc = cfg.model.head.pc_range
@@ -128,7 +153,7 @@ def _family_rows():
             dt = _bench_loop(
                 lambda: infer(var, jnp.asarray(pts), jnp.asarray(num)),
                 lambda o: float(jnp.sum(o["all_bbox_preds"][..., 0])),
-                iters=10)
+                iters=iters_infer)
             return b / dt
         from transcar_tpu.train.step import init_state, make_train_step
         model = build_model(cfg, training=True)
@@ -138,7 +163,7 @@ def _family_rows():
         gt[:, :, 3:6] = rng.uniform(0.5, 6, (b, mg, 3))
         batch = {"points": pts, "num_points": num, "gt_boxes": gt,
                  "gt_labels": rng.integers(0, 10, (b, mg)).astype(np.int32),
-                 "num_gt": np.full((b,), 9, np.int32)}
+                 "num_gt": np.full((b,), min(9, mg), np.int32)}
         state, tx = init_state(cfg, model, batch, total_steps=100,
                                rng=jax.random.PRNGKey(0))
         step = make_train_step(cfg, model, tx)
@@ -150,8 +175,8 @@ def _family_rows():
             box["s"], losses = step(box["s"], batch_j, jax.random.PRNGKey(1))
             return losses
 
-        dt = _bench_loop(one, lambda o: float(o["total"]), iters=5,
-                         warmup=1)
+        dt = _bench_loop(one, lambda o: float(o["total"]),
+                         iters=iters_train, warmup=1)
         return b / dt
 
     probes = {
