@@ -197,3 +197,21 @@ def test_benchmark_cli_with_trace(tmp_path, capsys):
         found += [f for f in filenames if f.endswith((".trace.json.gz",
                                                       ".xplane.pb"))]
     assert found, f"no trace artifacts under {trace_dir}"
+
+
+def test_benchmark_cli_lidar_preset(capsys):
+    """The FPS benchmark CLI serves the LiDAR track too (the reference's
+    benchmark.py takes any config, including obj_dgcnn)."""
+    from transcar_tpu.cli.benchmark import main as bench_main
+
+    bench_main(["objdgcnn_pillar", "--samples", "2", "--warmup", "1",
+                "--cfg-options",
+                "data.max_points=600", "model.max_voxels=256",
+                "model.bev_hw=[32,32]",
+                "model.voxel_size=[3.2,3.2,8.0]",
+                "model.head.num_query=16",
+                "model.head.num_decoder_layers=1"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["samples_per_sec"] > 0
+    assert rec["max_points"] == 600

@@ -42,24 +42,39 @@ def main(argv=None):
     cfg = get_preset(args.preset, parse_overrides(args.cfg_options))
     model = build_model(cfg)
     rng = np.random.default_rng(0)
-    batch = ge._fake_batch(rng, args.batch, cfg.model.head.num_cams,
-                           args.height, args.width,
-                           cfg.model.head.num_radar_tokens)
-    images = jnp.asarray(batch["images"])
-    l2i = jnp.asarray(batch["lidar2img"])
-    radar = (jnp.asarray(batch["radar_tokens"])
-             if cfg.model.head.with_radar_fusion else None)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, l2i, radar)
+    if cfg.model.lidar_encoder:
+        # LiDAR-track presets time the points path (the reference's
+        # benchmark.py serves obj_dgcnn configs through the same tool)
+        pc = cfg.model.head.pc_range
+        n_max = cfg.data.max_points
+        pts = np.zeros((args.batch, n_max, 5), np.float32)
+        pts[:, :, 0] = rng.uniform(pc[0], pc[3], (args.batch, n_max))
+        pts[:, :, 1] = rng.uniform(pc[1], pc[4], (args.batch, n_max))
+        pts[:, :, 2] = rng.uniform(pc[2], pc[5], (args.batch, n_max))
+        pts[:, :, 3] = rng.uniform(0, 255, (args.batch, n_max))
+        pts[:, :, 4] = rng.uniform(0, 0.45, (args.batch, n_max))
+        fwd_args = (jnp.asarray(pts),
+                    jnp.asarray(np.full((args.batch,), int(n_max * 0.9),
+                                        np.int32)))
+    else:
+        batch = ge._fake_batch(rng, args.batch, cfg.model.head.num_cams,
+                               args.height, args.width,
+                               cfg.model.head.num_radar_tokens)
+        radar = (jnp.asarray(batch["radar_tokens"])
+                 if cfg.model.head.with_radar_fusion else None)
+        fwd_args = (jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["lidar2img"]), radar)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *fwd_args)
 
     @jax.jit
-    def infer(params, images, l2i, radar):
-        return model.apply(params, images, l2i, radar)
+    def infer(params, *fwd_args):
+        return model.apply(params, *fwd_args)
 
     def sync(out):
         return float(jnp.sum(out["all_bbox_preds"][..., 0]))
 
     for _ in range(args.warmup):
-        sync(infer(params, images, l2i, radar))
+        sync(infer(params, *fwd_args))
     import contextlib
     from transcar_tpu.utils.profiling import trace
     tracer = (trace(args.trace_dir) if args.trace_dir
@@ -67,17 +82,21 @@ def main(argv=None):
     with tracer:
         t0 = time.perf_counter()
         for _ in range(args.samples):
-            out = infer(params, images, l2i, radar)
+            out = infer(params, *fwd_args)
         sync(out)
         dt = time.perf_counter() - t0
     sps = args.samples * args.batch / dt
-    print(json.dumps({
+    rec = {
         "preset": args.preset,
         "batch": args.batch,
-        "img_hw": [args.height, args.width],
         "samples_per_sec": round(sps, 3),
         "ms_per_sample": round(1000 * dt / (args.samples * args.batch), 2),
-    }))
+    }
+    if cfg.model.lidar_encoder:
+        rec["max_points"] = cfg.data.max_points
+    else:
+        rec["img_hw"] = [args.height, args.width]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
