@@ -215,3 +215,33 @@ def test_benchmark_cli_lidar_preset(capsys):
     rec = json.loads(line)
     assert rec["samples_per_sec"] > 0
     assert rec["max_points"] == 600
+
+
+def test_get_flops_cli_camera_and_lidar(capsys):
+    """get_flops (tools/analysis_tools/get_flops.py analog) covers BOTH
+    modalities via XLA cost analysis — the reference's hook counter
+    explicitly cannot (get_flops.py:57-60)."""
+    from transcar_tpu.cli.get_flops import main as flops_main
+
+    flops_main(["detr3d_r101", "--height", "64", "--width", "96",
+                "--cfg-options",
+                "model.backbone.kind=resnet50",
+                "model.backbone.compute_dtype=float32",
+                "model.backbone.with_dcn=[false,false,false,false]",
+                "model.head.num_query=16",
+                "model.head.num_decoder_layers=1",
+                "model.head.with_radar_fusion=false",
+                "data.img_hw=[64,96]"])
+    cam = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cam["gflops"] > 0 and cam["params_m"] > 0
+    assert cam["input"] == [1, 6, 64, 96, 3]
+
+    flops_main(["objdgcnn_pillar", "--cfg-options",
+                "data.max_points=600", "model.max_voxels=256",
+                "model.bev_hw=[32,32]",
+                "model.voxel_size=[3.2,3.2,8.0]",
+                "model.head.num_query=16",
+                "model.head.num_decoder_layers=1"])
+    lid = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lid["gflops"] > 0 and lid["params_m"] > 0
+    assert lid["input"] == [1, 600, 5]
