@@ -183,7 +183,11 @@ def _family_rows(tiny: bool = False):
         "vovnet_bs1_infer": lambda: vovnet(1),
         "vovnet_bs4_infer": lambda: vovnet(4),
         "pillar_bs1_infer": lambda: lidar("objdgcnn_pillar", "infer", 1),
+        # bs2 rows guard the windowed-kernel batch scaling (round 4's
+        # per-sample serialization made these ANTI-scale vs bs1)
+        "pillar_bs2_infer": lambda: lidar("objdgcnn_pillar", "infer", 2),
         "voxel_bs1_infer": lambda: lidar("objdgcnn_voxel", "infer", 1),
+        "voxel_bs2_infer": lambda: lidar("objdgcnn_voxel", "infer", 2),
         "pillar_bs1_train": lambda: lidar("objdgcnn_pillar", "train", 1),
         "voxel_bs1_train": lambda: lidar("objdgcnn_voxel", "train", 1),
     }

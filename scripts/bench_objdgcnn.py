@@ -95,33 +95,36 @@ def run_preset(name, tiny=False, parts=("infer", "train")):
             print(f"{name} voxelize bs1: {dtv * 1e3:.1f} ms "
                   f"({100 * dtv / dt:.0f}% of forward)", flush=True)
 
-    # train step bs1 (training build: autodiff-able XLA encoder path)
+    # train step bs1 + bs2 (training build: autodiff-able encoder path).
+    # bs2 proves the windowed-kernel batch scaling holds under grad too
+    # (round 4's per-sample serialization anti-scaled at bs2).
     if "train" not in parts:
         return
     from transcar_tpu.train.step import init_state, make_train_step
     model = build_model(cfg, training=True)
-    b = 1
-    pts, n = make_points(rng, b, n_max, int(n_max * 0.9), pc)
-    gt = np.ones((b, cfg.data.max_gt_boxes, 9), np.float32)
-    gt[:, :, :2] = rng.uniform(-40, 40, (b, cfg.data.max_gt_boxes, 2))
-    gt[:, :, 3:6] = rng.uniform(0.5, 6, (b, cfg.data.max_gt_boxes, 3))
-    batch = {"points": pts, "num_points": n, "gt_boxes": gt,
-             "gt_labels": rng.integers(
-                 0, 10, (b, cfg.data.max_gt_boxes)).astype(np.int32),
-             "num_gt": np.full((b,), 9, np.int32)}
-    state, tx = init_state(cfg, model, batch, total_steps=100,
-                           rng=jax.random.PRNGKey(0))
-    step = make_train_step(cfg, model, tx)
-    batch_j = jax.device_put(batch)
-    state = jax.device_put(state)
+    for b in (1, 2):
+        pts, n = make_points(rng, b, n_max, int(n_max * 0.9), pc)
+        gt = np.ones((b, cfg.data.max_gt_boxes, 9), np.float32)
+        gt[:, :, :2] = rng.uniform(-40, 40, (b, cfg.data.max_gt_boxes, 2))
+        gt[:, :, 3:6] = rng.uniform(0.5, 6, (b, cfg.data.max_gt_boxes, 3))
+        batch = {"points": pts, "num_points": n, "gt_boxes": gt,
+                 "gt_labels": rng.integers(
+                     0, 10, (b, cfg.data.max_gt_boxes)).astype(np.int32),
+                 "num_gt": np.full((b,), 9, np.int32)}
+        state, tx = init_state(cfg, model, batch, total_steps=100,
+                               rng=jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx)
+        batch_j = jax.device_put(batch)
+        state = jax.device_put(state)
 
-    def one():
-        nonlocal state
-        state, losses = step(state, batch_j, jax.random.PRNGKey(1))
-        return losses
+        def one():
+            nonlocal state
+            state, losses = step(state, batch_j, jax.random.PRNGKey(1))
+            return losses
 
-    dt = bench(one, lambda o: float(o["total"]), iters=10)
-    print(f"{name} train bs1: {dt * 1e3:.1f} ms/step", flush=True)
+        dt = bench(one, lambda o: float(o["total"]), iters=10)
+        print(f"{name} train bs{b}: {dt * 1e3:.1f} ms/step = "
+              f"{b / dt:.2f} samples/s", flush=True)
 
 
 def main():

@@ -3,7 +3,7 @@
 Round 4 hardware-verified single LiDAR train steps (finite loss, no
 fault); this runs 40 consecutive steps for (a) the camera flagship in
 the reference's production recipe (fusion-only, frozen camera branch,
-tools/train.py:238-252) and (b) ObjDGCNN pillar — asserting finite,
+tools/train.py:238-252) and (b) ObjDGCNN pillar + voxel — asserting finite,
 DECREASING loss on a fixed batch (overfit-one-batch) and recording the
 per-step wall-time curve.  A wedged optimizer or a NaN at step 7 fails
 here, which the single-step bar could not catch.
@@ -79,12 +79,12 @@ def camera_fusion_only():
     return _trajectory(step, jax.device_put(state), batch_j)
 
 
-def pillar():
+def lidar(preset="objdgcnn_pillar"):
     from transcar_tpu.core.config import get_preset
     from transcar_tpu.models.detector import build_model
     from transcar_tpu.train.step import init_state, make_train_step
 
-    cfg = get_preset("objdgcnn_pillar")
+    cfg = get_preset(preset)
     rng = np.random.default_rng(0)
     pc = cfg.model.head.pc_range
     n_max = cfg.data.max_points
@@ -108,7 +108,7 @@ def pillar():
                            rng=jax.random.PRNGKey(0))
     step = make_train_step(cfg, model, tx)
     batch_j = jax.device_put(batch)
-    print("objdgcnn pillar, bs1, full res:", flush=True)
+    print(f"{preset}, bs1, full res:", flush=True)
     return _trajectory(step, jax.device_put(state), batch_j)
 
 
@@ -120,7 +120,10 @@ def main():
     enable_persistent_cache()
     print("devices:", jax.devices(), flush=True)
     ok = True
-    for name, fn in (("camera", camera_fusion_only), ("pillar", pillar)):
+    for name, fn in (
+            ("camera", camera_fusion_only),
+            ("pillar", lambda: lidar("objdgcnn_pillar")),
+            ("voxel", lambda: lidar("objdgcnn_voxel"))):
         try:
             _, _, good = fn()
             ok = ok and good

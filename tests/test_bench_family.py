@@ -18,7 +18,8 @@ def test_family_rows_tiny_smoke(monkeypatch):
     bench = importlib.import_module("bench")
     rows = bench._family_rows(tiny=True)
     assert set(rows) == {"vovnet_bs1_infer", "vovnet_bs4_infer",
-                         "pillar_bs1_infer", "voxel_bs1_infer",
+                         "pillar_bs1_infer", "pillar_bs2_infer",
+                         "voxel_bs1_infer", "voxel_bs2_infer",
                          "pillar_bs1_train", "voxel_bs1_train"}
     bad = {k: v for k, v in rows.items() if not isinstance(v, float)}
     assert not bad, f"family probes broke: {bad}"

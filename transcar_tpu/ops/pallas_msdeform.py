@@ -89,22 +89,39 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
              together they cover the band window; shrinking the block
              ~H_v/2m× is what lets the batch ride the pallas grid
              without double-buffering the whole level — the bs≥2
-             scoped-VMEM OOM that forced per-sample serialized calls)
+             scoped-VMEM OOM that forced per-sample serialized calls).
+             In windowed mode the LAST positional ref is a [W_v, 2m·C]
+             VMEM scratch: the chunk pair is copied into it once per
+             chunk switch (~every m query rows) so the hot band loop
+             keeps round-4's single dynamic-slice load per MXU dot — a
+             per-band-row two-load + select starves the MXU (measured:
+             pillar infer 324.5 → 742 ms full-model, v5e round 5)
     omp_ref: [1, 1, heads·P·W_q, 8]  per-tap precompute, head-major then
              point-major (lane 0 = absolute y0 in value-level rows,
              1 = fy, 2 = x0, 3 = fx, 4 = attention weight, 5-7 pad)
     o_ref:   [1, 1, W_q, C]  this row's output (head-blocked channels)
     """
     if window_m:
-        vb_ref, omp_ref, o_ref = refs
+        vb_ref, omp_ref, o_ref, win_ref = refs
     else:
-        vb_ref = None
+        vb_ref = win_ref = None
         omp_ref, o_ref = refs
     r = pl.program_id(1)
     s = _enc_band_start(r, hq, hv, band)
     if window_m:
         # rel row index into the two stacked chunks, in [0, 2m)
-        rel0 = s - _window_chunk(r, hq, hv, band, window_m) * window_m
+        k = _window_chunk(r, hq, hv, band, window_m)
+        rel0 = s - k * window_m
+        # refresh the scratch window only when the chunk pair changed
+        # (grid iterates r fastest; r == 0 is a fresh sample's blocks)
+        kprev = _window_chunk(jnp.maximum(r - 1, 0), hq, hv, band,
+                              window_m)
+        mc = window_m * c
+
+        @pl.when(jnp.logical_or(r == 0, k != kprev))
+        def _fill_window():
+            win_ref[:, :mc] = v_ref[0]
+            win_ref[:, mc:] = vb_ref[0]
 
     tp = npts * wq
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
@@ -131,16 +148,11 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
 
         def band_body(b, acc):
             if window_m:
-                # band row s+b lives in chunk A (rel < m) or B: load the
-                # matching row of each (clipped starts stay in range and
-                # provably c-aligned) and select — two VMEM row reads
-                # per step, both trivially cheap next to the MXU dot
-                rel = rel0 + b
-                xa = v_ref[0, :, pl.ds(pl.multiple_of(
-                    jnp.clip(rel, 0, window_m - 1) * c, c), c)]
-                xbk = vb_ref[0, :, pl.ds(pl.multiple_of(
-                    jnp.clip(rel - window_m, 0, window_m - 1) * c, c), c)]
-                xb = jnp.where(rel < window_m, xa, xbk)
+                # band row s+b = scratch row rel0+b ∈ [0, 2m): one
+                # 128-aligned dynamic-slice load, exactly round 4's
+                # inner-loop shape (MXU stays saturated)
+                xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c),
+                                      c)]
             else:
                 xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
             xr_b = jax.lax.dot_general(
@@ -180,14 +192,23 @@ def _bwd_taps_kernel(v_ref, *refs, hq, wq, hv, wv,
     dofs_ref: [1, 1, heads·P·W_q, 4]
     """
     if window_m:
-        vb_ref, omp_ref, g_ref, dofs_ref = refs
+        vb_ref, omp_ref, g_ref, dofs_ref, win_ref = refs
     else:
-        vb_ref = None
+        vb_ref = win_ref = None
         omp_ref, g_ref, dofs_ref = refs
     r = pl.program_id(1)
     s = _enc_band_start(r, hq, hv, band)
     if window_m:
-        rel0 = s - _window_chunk(r, hq, hv, band, window_m) * window_m
+        k = _window_chunk(r, hq, hv, band, window_m)
+        rel0 = s - k * window_m
+        kprev = _window_chunk(jnp.maximum(r - 1, 0), hq, hv, band,
+                              window_m)
+        mc = window_m * c
+
+        @pl.when(jnp.logical_or(r == 0, k != kprev))
+        def _fill_window():
+            win_ref[:, :mc] = v_ref[0]
+            win_ref[:, mc:] = vb_ref[0]
 
     tp = npts * wq
     g_row = g_ref[0, 0].astype(jnp.float32)              # [W_q, C]
@@ -218,12 +239,8 @@ def _bwd_taps_kernel(v_ref, *refs, hq, wq, hv, wv,
         def band_body(b, carry):
             snk, ydy, ydx = carry
             if window_m:
-                rel = rel0 + b
-                xa = v_ref[0, :, pl.ds(pl.multiple_of(
-                    jnp.clip(rel, 0, window_m - 1) * c, c), c)]
-                xbk = vb_ref[0, :, pl.ds(pl.multiple_of(
-                    jnp.clip(rel - window_m, 0, window_m - 1) * c, c), c)]
-                xb = jnp.where(rel < window_m, xa, xbk)
+                xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c),
+                                      c)]
             else:
                 xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
             both = jax.lax.dot_general(
@@ -369,7 +386,19 @@ def _window_rows(hv, band):
     is two adjacent m-row chunks — BlockSpec index maps offset in whole
     blocks, so an overlapping band window is expressed as the PAIR of
     aligned chunks that covers it).  0 = no windowing (tiny level: ship
-    the whole [W_v, H_v·C] block like before — it is already small)."""
+    the whole [W_v, H_v·C] block like before — it is already small).
+
+    ``TRANSCAR_MSDEF_WINDOW`` env: "0" disables windowing everywhere
+    (whole-level blocks + per-sample barrier-serialized calls, the
+    round-4 configuration); an integer forces that chunk height (perf
+    probes).  Default: auto (smallest valid power of two)."""
+    import os
+    env = os.environ.get("TRANSCAR_MSDEF_WINDOW", "")
+    if env == "0":
+        return 0
+    if env.isdigit():
+        m = int(env)
+        return m if (m >= band and hv % m == 0 and hv >= 2 * m) else 0
     m = 8
     while m < band:
         m *= 2
@@ -396,8 +425,22 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
     cheap and the batch parallelism comes back."""
     b = value_lv.shape[0]
     c = heads * d
-    vt = jnp.transpose(value_lv, (0, 2, 1, 3)).reshape(b, wv, hv * c)
     m = _window_rows(hv, band)
+    if m == 0 and b > 1:
+        # whole-level fallback (window disabled/invalid): per-sample
+        # calls serialized with optimization_barrier — with batch in the
+        # grid Mosaic double-buffers the whole value level (73 MB scoped
+        # OOM), and unserialized per-sample calls stack two scoped
+        # allocations via XLA's async prefetch (71.69 MB, also OOM)
+        outs = []
+        for i in range(b):
+            vi = value_lv[i:i + 1]
+            if outs:
+                vi, _ = jax.lax.optimization_barrier((vi, outs[-1]))
+            outs.append(_enc_pair(vi, omp[i:i + 1], hq, wq, hv, wv,
+                                  heads, d, npts, band, interpret))
+        return jnp.concatenate(outs, axis=0)
+    vt = jnp.transpose(value_lv, (0, 2, 1, 3)).reshape(b, wv, hv * c)
     kern = functools.partial(_enc_kernel, hq=hq, wq=wq, hv=hv, wv=wv,
                              c=c, d=d, heads=heads, npts=npts, band=band,
                              window_m=m)
@@ -429,6 +472,8 @@ def _enc_pair(value_lv, omp, hq, wq, hv, wv, heads, d, npts, band,
         out_specs=pl.BlockSpec((1, 1, wq, c), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((wv, 2 * m * c), vt.dtype)]
+                        if m else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -448,6 +493,17 @@ def _bwd_taps_pair(vt, omp, g, hq, wq, hv, wv, heads, d, npts, band,
     c = heads * d
     th = heads * npts * wq
     m = _window_rows(hv, band)
+    if m == 0 and b > 1:
+        # same whole-level per-sample barrier fallback as _enc_pair
+        outs = []
+        for i in range(b):
+            vi = vt[i:i + 1]
+            if outs:
+                vi, _ = jax.lax.optimization_barrier((vi, outs[-1]))
+            outs.append(_bwd_taps_pair(vi, omp[i:i + 1], g[i:i + 1],
+                                       hq, wq, hv, wv, heads, d, npts,
+                                       band, interpret))
+        return jnp.concatenate(outs, axis=0)
     kern = functools.partial(_bwd_taps_kernel, hq=hq, wq=wq, hv=hv,
                              wv=wv, c=c, d=d, heads=heads, npts=npts,
                              band=band, window_m=m)
@@ -480,6 +536,8 @@ def _bwd_taps_pair(vt, omp, g, hq, wq, hv, wv, heads, d, npts, band,
         out_specs=pl.BlockSpec((1, 1, th, 4), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hq, th, 4), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((wv, 2 * m * c), vt.dtype)]
+                        if m else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
