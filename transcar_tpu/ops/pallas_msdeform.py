@@ -124,57 +124,59 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
             win_ref[:, mc:] = vb_ref[0]
 
     tp = npts * wq
+    th = heads * tp
     lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
 
-    # ROLLED loops (fori_loop), mirroring the backward kernels: the
-    # unrolled heads×band form sat AT the 64 MB scoped-VMEM edge at
-    # band 16 and over it at the training band 24 (70.6 MB measured in
-    # the AD program) — the compile-time check is schedule-dependent
-    # and a runtime stack overflow faults the worker.  wy columns are
-    # recomputed per band row from scalar b; the value band row is
-    # sliced from the ref at (s+b)·C (128-aligned).
-    def head_body(h, out):
-        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(h * tp, 8), tp)]
-        y0r = omp[:, 0:1].astype(jnp.int32) - s
-        fy = omp[:, 1:2]
-        x0 = omp[:, 2:3].astype(jnp.int32)
-        fx = omp[:, 3:4]
-        aw = omp[:, 4:5]
+    # HEADS-STACKED band loop: all heads' taps ride ONE [H·P·W_q, W_v]
+    # one-hot matrix, so each band row is a single tall MXU dot and a
+    # single dynamic-slice load.  History: round 4 first unrolled
+    # heads×band (scoped-VMEM overflow at the training band 24 — a
+    # runtime worker fault, the compile check is schedule-dependent),
+    # then ROLLED both loops (97d7afa) which fixed the fault but cost
+    # heads×band loop iterations of slice/loop overhead per query row —
+    # measured 324.5 → ~740 ms full pillar model (the camera-only bench
+    # artifact hid it until round 5).  Stacking keeps the rolled band
+    # loop's O(1) temporaries while cutting iterations and slices 8×,
+    # and the taller dot fills the MXU better.
+    omp = omp_ref[0, 0]                                   # [th, 8]
+    y0r = omp[:, 0:1].astype(jnp.int32) - s
+    fy = omp[:, 1:2]
+    x0 = omp[:, 2:3].astype(jnp.int32)
+    fx = omp[:, 3:4]
+    aw = omp[:, 4:5]
 
-        jj = jax.lax.broadcasted_iota(jnp.int32, (tp, wv), 1)
-        wx = ((jnp.where(jj == x0, 1.0 - fx, 0.0)
-               + jnp.where(jj == x0 + 1, fx, 0.0)) * aw)   # [tp, W_v]
-        wx = wx.astype(v_ref.dtype)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (th, wv), 1)
+    wx = ((jnp.where(jj == x0, 1.0 - fx, 0.0)
+           + jnp.where(jj == x0 + 1, fx, 0.0)) * aw)      # [th, W_v]
+    wx = wx.astype(v_ref.dtype)
 
-        def band_body(b, acc):
-            if window_m:
-                # band row s+b = scratch row rel0+b ∈ [0, 2m): one
-                # 128-aligned dynamic-slice load, exactly round 4's
-                # inner-loop shape (MXU stays saturated)
-                xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c),
-                                      c)]
-            else:
-                xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
-            xr_b = jax.lax.dot_general(
-                wx, xb,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [tp, C]
-            wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
-                    + jnp.where(y0r == b - 1, fy, 0.0))    # [tp, 1]
-            return acc + wy_b * xr_b
+    def band_body(b, acc):
+        if window_m:
+            # band row s+b = scratch row rel0+b ∈ [0, 2m): one
+            # 128-aligned dynamic-slice load per dot
+            xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c), c)]
+        else:
+            xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
+        xr_b = jax.lax.dot_general(
+            wx, xb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [th, C]
+        wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
+                + jnp.where(y0r == b - 1, fy, 0.0))        # [th, 1]
+        return acc + wy_b * xr_b
 
-        acc = jax.lax.fori_loop(0, band, band_body,
-                                jnp.zeros((tp, c), jnp.float32))
-        outh = jnp.zeros((wq, c), jnp.float32)
-        for p in range(npts):                    # point sum, static rows
-            outh = outh + acc[p * wq:(p + 1) * wq]
-        # head h owns channels [h·d, (h+1)·d) — full-lane mask select
-        # (sub-128 static lane slices are layout-hostile on Mosaic)
-        keep = jnp.logical_and(lane >= h * d, lane < (h + 1) * d)
-        return out + jnp.where(keep, outh, 0.0)
-
-    out = jax.lax.fori_loop(0, heads, head_body,
-                            jnp.zeros((wq, c), jnp.float32))
+    acc = jax.lax.fori_loop(0, band, band_body,
+                            jnp.zeros((th, c), jnp.float32))
+    # head/point sum + per-head channel ownership, fully vectorized:
+    # splitting leading (non-lane) dims is a legal Mosaic reshape (the
+    # (sublane, lane) tile is untouched); head h keeps lanes [h·d,(h+1)·d)
+    # via an iota compare instead of 32 unrolled static slices
+    acc4 = acc.reshape(heads, npts, wq, c)
+    summed = jnp.sum(acc4, axis=1)                         # [H, W_q, C]
+    hh = jax.lax.broadcasted_iota(jnp.int32, (heads, wq, c), 0)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (heads, wq, c), 2)
+    out = jnp.sum(jnp.where(lane3 // d == hh, summed, 0.0), axis=0)
+    del lane
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
