@@ -79,6 +79,31 @@ def _window_chunk(r, hq, hv, band, m):
     return jnp.clip(s // m, 0, hv // m - 2)
 
 
+def _enc_hgroups(wq, hv, wv, c, heads, npts, band, window_m):
+    """Head-group count for the stacked forward kernel: the smallest
+    power-of-two split keeping estimated scoped VMEM under budget.
+
+    Calibrated against a Mosaic compile-OOM measurement (v5e, 256² pair,
+    band 24, m=32, full stack): 71.99 MB total, of which ~26 MB is the
+    fixed part (two double-buffered m-row chunk blocks + the 2m scratch)
+    and ~46 MB scales with the per-group stacked rows — ≈ 5.5 words per
+    (row × max(W_v, C)) across the one-hot build, dot output and
+    accumulator.  Budget 52 MiB leaves ≥12 MB headroom for schedule
+    variance (the check is schedule-dependent; an overflow that
+    compiles is a runtime worker fault, round-4 lesson)."""
+    m = window_m
+    fixed = (2 * 2 * wv * m * c * 2 + wv * 2 * m * c * 2) if m \
+        else wv * hv * c * 2             # whole-level block, single sample
+    th = heads * npts * wq
+    g = 1
+    while g < heads:
+        temps = 5.5 * (th // g) * max(wv, c) * 4
+        if fixed + temps <= 52 * 1024 * 1024:
+            break
+        g *= 2
+    return g
+
+
 def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
                 npts, band, window_m=0):
     """One query-row grid step of one (query-level, value-level) pair.
@@ -124,59 +149,75 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
             win_ref[:, mc:] = vb_ref[0]
 
     tp = npts * wq
-    th = heads * tp
-    lane = jax.lax.broadcasted_iota(jnp.int32, (wq, c), 1)
 
-    # HEADS-STACKED band loop: all heads' taps ride ONE [H·P·W_q, W_v]
-    # one-hot matrix, so each band row is a single tall MXU dot and a
-    # single dynamic-slice load.  History: round 4 first unrolled
-    # heads×band (scoped-VMEM overflow at the training band 24 — a
-    # runtime worker fault, the compile check is schedule-dependent),
+    # HEADS-STACKED band loop: a group of heads' taps ride ONE
+    # [Hg·P·W_q, W_v] one-hot matrix, so each band row is a single tall
+    # MXU dot and a single dynamic-slice load.  History: round 4 first
+    # unrolled heads×band (scoped-VMEM overflow at the training band 24
+    # — a runtime worker fault, the compile check is schedule-dependent),
     # then ROLLED both loops (97d7afa) which fixed the fault but cost
     # heads×band loop iterations of slice/loop overhead per query row —
     # measured 324.5 → ~740 ms full pillar model (the camera-only bench
     # artifact hid it until round 5).  Stacking keeps the rolled band
-    # loop's O(1) temporaries while cutting iterations and slices 8×,
-    # and the taller dot fills the MXU better.
-    omp = omp_ref[0, 0]                                   # [th, 8]
-    y0r = omp[:, 0:1].astype(jnp.int32) - s
-    fy = omp[:, 1:2]
-    x0 = omp[:, 2:3].astype(jnp.int32)
-    fx = omp[:, 3:4]
-    aw = omp[:, 4:5]
+    # loop's O(1) temporaries while cutting iterations and slices ~8×,
+    # and the taller dot fills the MXU better.  The full 8-head stack
+    # needs ~72 MB scoped VMEM at the 256² band-24 pair (measured
+    # compile OOM) — `_enc_hgroups` splits heads into the smallest
+    # power-of-two groups that fit a 56 MB budget.
+    hg = _enc_hgroups(wq, hv, wv, c, heads, npts, band, window_m)
+    hpg = heads // hg
+    thg = hpg * tp
 
-    jj = jax.lax.broadcasted_iota(jnp.int32, (th, wv), 1)
-    wx = ((jnp.where(jj == x0, 1.0 - fx, 0.0)
-           + jnp.where(jj == x0 + 1, fx, 0.0)) * aw)      # [th, W_v]
-    wx = wx.astype(v_ref.dtype)
+    # rolled group loop — an unrolled one stacks every iteration's
+    # one-hot/accumulator temporaries (Mosaic does not reuse across
+    # unrolled bodies; the round-4 70.6 MB lesson), which would undo
+    # exactly the VMEM the grouping is buying
+    def group_body(g, out):
+        omp = omp_ref[0, 0, pl.ds(pl.multiple_of(g * thg, 8), thg)]
+        y0r = omp[:, 0:1].astype(jnp.int32) - s
+        fy = omp[:, 1:2]
+        x0 = omp[:, 2:3].astype(jnp.int32)
+        fx = omp[:, 3:4]
+        aw = omp[:, 4:5]
 
-    def band_body(b, acc):
-        if window_m:
-            # band row s+b = scratch row rel0+b ∈ [0, 2m): one
-            # 128-aligned dynamic-slice load per dot
-            xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c), c)]
-        else:
-            xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c), c)]
-        xr_b = jax.lax.dot_general(
-            wx, xb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [th, C]
-        wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
-                + jnp.where(y0r == b - 1, fy, 0.0))        # [th, 1]
-        return acc + wy_b * xr_b
+        jj = jax.lax.broadcasted_iota(jnp.int32, (thg, wv), 1)
+        wx = ((jnp.where(jj == x0, 1.0 - fx, 0.0)
+               + jnp.where(jj == x0 + 1, fx, 0.0)) * aw)  # [thg, W_v]
+        wx = wx.astype(v_ref.dtype)
 
-    acc = jax.lax.fori_loop(0, band, band_body,
-                            jnp.zeros((th, c), jnp.float32))
-    # head/point sum + per-head channel ownership, fully vectorized:
-    # splitting leading (non-lane) dims is a legal Mosaic reshape (the
-    # (sublane, lane) tile is untouched); head h keeps lanes [h·d,(h+1)·d)
-    # via an iota compare instead of 32 unrolled static slices
-    acc4 = acc.reshape(heads, npts, wq, c)
-    summed = jnp.sum(acc4, axis=1)                         # [H, W_q, C]
-    hh = jax.lax.broadcasted_iota(jnp.int32, (heads, wq, c), 0)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (heads, wq, c), 2)
-    out = jnp.sum(jnp.where(lane3 // d == hh, summed, 0.0), axis=0)
-    del lane
+        def band_body(b, acc):
+            if window_m:
+                # band row s+b = scratch row rel0+b ∈ [0, 2m): one
+                # 128-aligned dynamic-slice load per dot
+                xb = win_ref[:, pl.ds(pl.multiple_of((rel0 + b) * c, c),
+                                      c)]
+            else:
+                xb = v_ref[0, :, pl.ds(pl.multiple_of((s + b) * c, c),
+                                       c)]
+            xr_b = jax.lax.dot_general(
+                wx, xb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [thg, C]
+            wy_b = (jnp.where(y0r == b, 1.0 - fy, 0.0)
+                    + jnp.where(y0r == b - 1, fy, 0.0))    # [thg, 1]
+            return acc + wy_b * xr_b
+
+        acc = jax.lax.fori_loop(0, band, band_body,
+                                jnp.zeros((thg, c), jnp.float32))
+        # head/point sum + per-head channel ownership, vectorized:
+        # splitting leading (non-lane) dims is a legal Mosaic reshape
+        # (the (sublane, lane) tile is untouched); head h keeps lanes
+        # [h·d, (h+1)·d) via an iota compare instead of unrolled slices
+        acc4 = acc.reshape(hpg, npts, wq, c)
+        summed = jnp.sum(acc4, axis=1)                     # [Hg, W_q, C]
+        hh = jax.lax.broadcasted_iota(jnp.int32, (hpg, wq, c), 0) \
+            + g * hpg
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (hpg, wq, c), 2)
+        return out + jnp.sum(jnp.where(lane3 // d == hh, summed, 0.0),
+                             axis=0)
+
+    out = jax.lax.fori_loop(0, hg, group_body,
+                            jnp.zeros((wq, c), jnp.float32))
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
