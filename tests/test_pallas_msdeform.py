@@ -190,3 +190,24 @@ def test_custom_vjp_structural_exactness_small_values():
         scale = max(np.abs(b).max(), 1e-12)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-2,
                                    err_msg=name)
+
+
+def test_head_group_split_matches_oracle(monkeypatch):
+    """The VMEM-budgeted head-group split (hg > 1) must be numerically
+    invisible.  Tests run at small shapes where `_enc_hgroups` always
+    picks the full stack, so force a 2-way split (and a 4-way = fully
+    per-head-pair split) and compare against the XLA oracle — a wrong
+    group/omp row offset or head-channel ownership shows up here."""
+    import transcar_tpu.ops.pallas_msdeform as pm
+
+    rng = np.random.default_rng(7)
+    value, loc, wgt = _enc_inputs(rng, b=2, max_cells=2.0)
+    want = ms_deform_attn_core(value, SHAPES, loc, wgt)
+    for forced in (2, 4):
+        monkeypatch.setattr(pm, "_enc_hgroups",
+                            lambda *a, _f=forced, **k: _f)
+        got = pm.pallas_msdeform_encoder(value, SHAPES, loc, wgt,
+                                         band=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"hgroups={forced}")

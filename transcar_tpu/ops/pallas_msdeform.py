@@ -118,9 +118,11 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
              In windowed mode the LAST positional ref is a [W_v, 2m·C]
              VMEM scratch: the chunk pair is copied into it once per
              chunk switch (~every m query rows) so the hot band loop
-             keeps round-4's single dynamic-slice load per MXU dot — a
-             per-band-row two-load + select starves the MXU (measured:
-             pillar infer 324.5 → 742 ms full-model, v5e round 5)
+             keeps a single dynamic-slice load per MXU dot.  Measured
+             verdict (v5e round 5): the window mechanism is FREE at
+             pair AND full-model level (707.1 windowed vs 703.2
+             whole-level), so it ships for what it buys — batched grids
+             and a batched backward with no per-sample barriers.
     omp_ref: [1, 1, heads·P·W_q, 8]  per-tap precompute, head-major then
              point-major (lane 0 = absolute y0 in value-level rows,
              1 = fy, 2 = x0, 3 = fx, 4 = attention weight, 5-7 pad)
@@ -163,7 +165,7 @@ def _enc_kernel(v_ref, *refs, hq, wq, hv, wv, c, d, heads,
     # and the taller dot fills the MXU better.  The full 8-head stack
     # needs ~72 MB scoped VMEM at the 256² band-24 pair (measured
     # compile OOM) — `_enc_hgroups` splits heads into the smallest
-    # power-of-two groups that fit a 56 MB budget.
+    # power-of-two groups that fit a 52 MiB budget.
     hg = _enc_hgroups(wq, hv, wv, c, heads, npts, band, window_m)
     hpg = heads // hg
     thg = hpg * tp
